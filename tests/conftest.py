@@ -1,0 +1,53 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Multi-device sharding tests run on CPU via
+``xla_force_host_platform_device_count`` (the reference has no cluster
+story to mimic; see SURVEY.md §4). Must be set before jax import.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_PATH = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(os.path.join(REFERENCE_PATH, "src"))
+
+
+requires_reference = pytest.mark.skipif(
+    not reference_available(),
+    reason="reference repo not mounted; parity oracle unavailable",
+)
+
+
+@pytest.fixture(scope="session")
+def ref_src():
+    """Import path hook for the reference src/ tree (oracle only)."""
+    import sys
+
+    p = os.path.join(REFERENCE_PATH, "src")
+    if p not in sys.path:
+        sys.path.insert(0, p)
+    return p
+
+
+@pytest.fixture(scope="session")
+def small_dataset():
+    from mallorn_tpu.data.synthetic import generate_dataset
+
+    return generate_dataset(n_objects=64, seed=123)
+
+
+@pytest.fixture(scope="session")
+def tiny_dataset():
+    from mallorn_tpu.data.synthetic import generate_dataset
+
+    return generate_dataset(n_objects=12, seed=7)
