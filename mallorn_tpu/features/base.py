@@ -68,6 +68,11 @@ def feature_matrix(features: FeatureSet, names: Optional[Sequence[str]] = None
     return np.stack(cols, axis=1), list(names)
 
 
+def feature_matrix_jnp(features: FeatureSet, names: Sequence[str]) -> jnp.ndarray:
+    """Traceable [N, F] matrix build (for fully-jitted forward paths)."""
+    return jnp.stack([features[n].astype(jnp.float32) for n in names], axis=1)
+
+
 def merge(*feature_sets: FeatureSet) -> FeatureSet:
     """Left-to-right merge; duplicate names must match the reference's merge
     semantics (later modules never silently overwrite earlier ones)."""

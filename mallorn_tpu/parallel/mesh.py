@@ -1,0 +1,53 @@
+"""Device mesh construction.
+
+The dataset's parallel structure is pure object-batch data parallelism
+(SURVEY.md §2.2): a 1-D mesh over the object axis. Feature kernels run
+shard-local with zero communication; the GBDT psums per-feature gradient
+histograms over ICI (XGBoost's distributed-hist algorithm on a mesh).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+OBJ_AXIS = "obj"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = OBJ_AXIS) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def object_sharding(mesh: Mesh, axis: str = OBJ_AXIS) -> NamedSharding:
+    """Shard the leading (object) axis; replicate the rest."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_packed(packed, mesh: Mesh, axis: str = OBJ_AXIS):
+    """Place a PackedLightcurves (or any object-leading pytree) on the mesh,
+    padding the object axis to a multiple of the mesh size."""
+    from mallorn_tpu.data.packing import PackedLightcurves, pad_objects
+
+    n_dev = mesh.devices.size
+    if isinstance(packed, PackedLightcurves):
+        n = packed.n_objects
+        n_pad = ((n + n_dev - 1) // n_dev) * n_dev
+        packed = pad_objects(packed, n_pad)
+    sh = object_sharding(mesh, axis)
+
+    def place(x):
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            return jax.device_put(x, sh)
+        return x
+
+    return jax.tree.map(place, packed)

@@ -1,0 +1,67 @@
+"""Multi-chip training step: shard_map over the object axis.
+
+This is the framework's distributed path (the reference has none —
+SURVEY.md §2.2): feature extraction runs shard-local; the GBDT's
+per-(feature, node, bin) gradient histograms are ``lax.psum`` over the
+mesh so every device computes identical splits — the numeric contract is
+"same trees as single-device".
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from mallorn_tpu.data.packing import PackedLightcurves
+from mallorn_tpu.features import statistical
+from mallorn_tpu.features.base import feature_matrix_jnp
+from mallorn_tpu.parallel.mesh import OBJ_AXIS
+from mallorn_tpu.trees import objectives
+from mallorn_tpu.trees.gbdt import GBDTParams, _train_tree
+from mallorn_tpu.trees.binning import BinSpec, apply_bins
+
+
+def make_sharded_training_step(mesh: Mesh, params: GBDTParams,
+                               feature_names, bin_spec: BinSpec,
+                               axis: str = OBJ_AXIS):
+    """Returns a jitted fn(packed, y, w, margin) -> (tree, new_margin).
+
+    One full distributed boosting round: shard-local feature extraction
+    -> shard-local binning -> psum'd histograms -> replicated tree
+    -> shard-local margin update. All real collectives ride the mesh.
+    """
+
+    def local_step(packed: PackedLightcurves, y, w, margin):
+        feats = statistical.extract(packed)
+        X = feature_matrix_jnp(feats, feature_names)
+        binned = apply_bins(bin_spec, X)
+
+        grad, hess = objectives.logistic(margin, y, w)
+        col_mask = jnp.ones(X.shape[1], bool)
+        tree, gains, node_assign = _train_tree(
+            binned.T, binned, grad, hess, col_mask, params, axis)
+        leaf_value = tree[4]
+        new_margin = margin + leaf_value[node_assign]
+        return tree, new_margin
+
+    # every PackedLightcurves leaf has a leading object axis except the
+    # scalar time_offset
+    packed_spec = PackedLightcurves(
+        band_time=P(axis), band_flux=P(axis), band_err=P(axis),
+        band_mask=P(axis), all_time=P(axis), all_flux=P(axis),
+        all_err=P(axis), all_band=P(axis), all_mask=P(axis),
+        time_offset=P(),
+    )
+
+    step = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(packed_spec, P(axis), P(axis), P(axis)),
+        out_specs=((P(), P(), P(), P(), P()), P(axis)),
+        check_rep=False,
+    )
+    return jax.jit(step)

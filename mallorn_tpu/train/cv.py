@@ -1,0 +1,136 @@
+"""Cross-validation orchestration + OOF threshold sweep.
+
+Mirrors the reference's L4 validation layer (reference:
+scripts/train_v34a_bazin.py:150-208): stratified 5-fold with
+``random_state=42``, per-fold early-stopped training, OOF predictions,
+test predictions averaged over folds, and an F1-maximizing threshold
+grid search on the OOF vector.
+
+Fold assignment and F1 run on host (sklearn — tiny compute, exact parity
+with the reference); training/prediction run on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+from sklearn.metrics import f1_score
+from sklearn.model_selection import StratifiedKFold
+
+from mallorn_tpu.trees.gbdt import (GBDTModel, GBDTParams, predict_proba,
+                                    predict_margin, train_gbdt)
+
+
+def threshold_sweep(y: np.ndarray, probs: np.ndarray,
+                    grid: Optional[np.ndarray] = None) -> Tuple[float, float]:
+    """Best (f1, threshold) over the reference grid
+    np.linspace(0.05, 0.5, n) (reference: train_v34a_bazin.py:200-208)."""
+    if grid is None:
+        grid = np.linspace(0.05, 0.5, 100)
+    best_f1, best_t = 0.0, 0.5
+    for t in grid:
+        f1 = f1_score(y, (probs > t).astype(int))
+        if f1 > best_f1:
+            best_f1, best_t = float(f1), float(t)
+    return best_f1, best_t
+
+
+@dataclasses.dataclass
+class CVResult:
+    oof_preds: np.ndarray  # [N_train] probabilities
+    test_preds: np.ndarray  # [N_test] fold-averaged probabilities
+    fold_f1s: List[float]
+    best_f1: float
+    best_threshold: float
+    importance_gain: np.ndarray  # [F] summed over folds
+    models: List[GBDTModel]
+
+    def confusion(self, y: np.ndarray) -> Dict[str, int]:
+        pred = (self.oof_preds > self.best_threshold).astype(int)
+        return {
+            "tp": int(((pred == 1) & (y == 1)).sum()),
+            "fp": int(((pred == 1) & (y == 0)).sum()),
+            "fn": int(((pred == 0) & (y == 1)).sum()),
+            "tn": int(((pred == 0) & (y == 0)).sum()),
+        }
+
+
+def train_cv(
+    X_train: np.ndarray,
+    y: np.ndarray,
+    X_test: Optional[np.ndarray] = None,
+    params: GBDTParams = GBDTParams(),
+    sample_weight: Optional[np.ndarray] = None,
+    use_scale_pos_weight: bool = True,
+    objective=None,
+    sigmoid_outputs: bool = False,
+    n_folds: int = 5,
+    early_stopping_rounds: int = 50,
+    seed: int = 42,
+    threshold_grid: Optional[np.ndarray] = None,
+    verbose: bool = False,
+) -> CVResult:
+    """Stratified K-fold GBDT training with OOF + averaged test predictions.
+
+    ``sigmoid_outputs``: custom objectives produce raw margins that need an
+    explicit sigmoid (reference: train_v92_focal_adversarial.py:256-259);
+    the built-in logistic objective already reports probabilities.
+    """
+    y = np.asarray(y)
+    skf = StratifiedKFold(n_splits=n_folds, shuffle=True, random_state=seed)
+
+    oof = np.zeros(len(y), dtype=np.float64)
+    test_preds = (np.zeros((len(X_test), n_folds)) if X_test is not None else None)
+    importance = None
+    fold_f1s: List[float] = []
+    models: List[GBDTModel] = []
+
+    for fold, (tr, va) in enumerate(skf.split(X_train, y)):
+        spw = float((y[tr] == 0).sum() / max((y[tr] == 1).sum(), 1)) \
+            if use_scale_pos_weight else 1.0
+        w = sample_weight[tr] if sample_weight is not None else None
+        model = train_gbdt(
+            X_train[tr], y[tr], params,
+            sample_weight=w,
+            scale_pos_weight=spw,
+            objective=objective,
+            X_val=X_train[va], y_val=y[va],
+            early_stopping_rounds=early_stopping_rounds,
+        )
+        models.append(model)
+
+        if sigmoid_outputs or objective is None:
+            val_p = np.asarray(predict_proba(model, X_train[va]))
+            test_p = (np.asarray(predict_proba(model, X_test))
+                      if X_test is not None else None)
+        else:
+            val_p = np.asarray(predict_margin(model, X_train[va]))
+            test_p = (np.asarray(predict_margin(model, X_test))
+                      if X_test is not None else None)
+
+        oof[va] = val_p
+        if test_preds is not None:
+            test_preds[:, fold] = test_p
+
+        imp = np.asarray(model.importance_gain)
+        importance = imp if importance is None else importance + imp
+
+        f1, t = threshold_sweep(y[va], val_p,
+                                np.linspace(0.05, 0.5, 50))
+        fold_f1s.append(f1)
+        if verbose:
+            print(f"   fold {fold + 1}/{n_folds}: best_iter="
+                  f"{model.best_iteration} F1={f1:.4f} @ {t:.3f}", flush=True)
+
+    best_f1, best_t = threshold_sweep(y, oof, threshold_grid)
+    return CVResult(
+        oof_preds=oof,
+        test_preds=test_preds.mean(axis=1) if test_preds is not None else None,
+        fold_f1s=fold_f1s,
+        best_f1=best_f1,
+        best_threshold=best_t,
+        importance_gain=importance,
+        models=models,
+    )

@@ -1,0 +1,382 @@
+"""TPU histogram gradient-boosted trees.
+
+The TPU-native replacement for XGBoost ``tree_method='hist'`` as configured
+by every reference training script (reference: scripts/train_v34a_bazin.py:134-148,
+non_successful_tests/scripts/train_v92_focal_adversarial.py:157-169):
+depth-wise growth, 256-bin feature histograms, L1/L2 regularization,
+min_child_weight, per-sample weights, scale_pos_weight, learned
+missing-value (NaN) default directions, row/column subsampling, custom
+grad/hess objectives, logloss early stopping and gain importances.
+
+Design (XLA-first):
+- the whole boosting loop is one ``lax.scan`` over rounds; each round
+  builds one tree level-by-level (static unroll over the 5 levels);
+- histograms are per-(feature, node, bin) grad/hess sums built with a
+  vmapped ``segment_sum`` over rows — the object axis — and are the ONLY
+  cross-device quantity: under a mesh they are ``lax.psum`` over the data
+  shards, which is exactly XGBoost's distributed-hist algorithm mapped
+  onto ICI (SURVEY.md §2.2);
+- split search is a masked argmax over (feature, bin, default-direction),
+  computed identically (redundantly) on every device;
+- trees are fixed-shape heap arrays -> prediction is a few vectorized
+  gathers per level, no data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mallorn_tpu.trees.binning import BinSpec, apply_bins, fit_bins
+from mallorn_tpu.trees import objectives
+
+Objective = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]
+
+
+class GBDTParams(NamedTuple):
+    n_rounds: int = 500
+    max_depth: int = 5
+    learning_rate: float = 0.025
+    subsample: float = 0.8
+    colsample_bytree: float = 0.8
+    min_child_weight: float = 3.0
+    reg_alpha: float = 0.2
+    reg_lambda: float = 1.5
+    n_bins: int = 256
+    min_split_gain: float = 1e-6
+    seed: int = 42
+
+
+class Forest(NamedTuple):
+    """Stacked fixed-shape trees. R = rounds, I = 2^D - 1 internal slots,
+    H = 2^(D+1) - 1 heap nodes."""
+
+    feature: jnp.ndarray  # [R, I] int32
+    split_bin: jnp.ndarray  # [R, I] int32
+    default_left: jnp.ndarray  # [R, I] bool
+    is_leaf: jnp.ndarray  # [R, I] bool (early leaves)
+    leaf_value: jnp.ndarray  # [R, H] float32 (eta already applied)
+
+
+class GBDTModel(NamedTuple):
+    forest: Forest
+    bin_spec: BinSpec
+    params: GBDTParams
+    importance_gain: jnp.ndarray  # [F]
+    eval_history: jnp.ndarray  # [R] val logloss (nan if no val set)
+    best_iteration: int  # host-side; -1 before finalize
+
+
+def _shrink(g, alpha):
+    """XGBoost L1 thresholding of the gradient sum."""
+    return jnp.sign(g) * jnp.maximum(jnp.abs(g) - alpha, 0.0)
+
+
+def _leaf_weight(g, h, alpha, lam, eta):
+    return -eta * _shrink(g, alpha) / (h + lam)
+
+
+def _score(g, h, alpha, lam):
+    s = _shrink(g, alpha)
+    return s * s / (h + lam)
+
+
+def _psum(x, axis_name):
+    return jax.lax.psum(x, axis_name) if axis_name else x
+
+
+def _build_level_hist(binned_T, grad, hess, local_node, in_level, n_nodes, n_bins_tot,
+                      axis_name):
+    """Histograms [F, n_nodes, n_bins_tot, 2] of (grad, hess) sums.
+
+    binned_T: [F, N] bin ids; local_node: [N] node index within the level;
+    in_level: [N] bool — row participates in this level's histograms.
+    """
+    n_seg = n_nodes * n_bins_tot
+    seg_base = jnp.where(in_level, local_node * n_bins_tot, n_seg)
+
+    data = jnp.stack([grad, hess], axis=-1)  # [N, 2]
+
+    def per_feature(bins_f):
+        seg = jnp.where(in_level, seg_base + bins_f, n_seg)
+        return jax.ops.segment_sum(data, seg, num_segments=n_seg + 1)[:-1]
+
+    hist = jax.vmap(per_feature)(binned_T)  # [F, n_seg, 2]
+    hist = hist.reshape(binned_T.shape[0], n_nodes, n_bins_tot, 2)
+    return _psum(hist, axis_name)
+
+
+def _train_tree(binned_T, binned, grad, hess, col_mask, p: GBDTParams, axis_name):
+    """Build one tree. Returns (tree arrays, per-feature gain, node_assign)."""
+    n_f, n = binned_T.shape
+    depth = p.max_depth
+    n_internal = 2 ** depth - 1
+    n_heap = 2 ** (depth + 1) - 1
+    n_bins_tot = p.n_bins + 1  # + missing bin
+    missing_id = p.n_bins
+
+    feature = jnp.zeros(n_internal, jnp.int32)
+    split_bin = jnp.full(n_internal, -1, jnp.int32)
+    default_left = jnp.zeros(n_internal, bool)
+    is_leaf = jnp.zeros(n_internal, bool)
+    leaf_value = jnp.zeros(n_heap, jnp.float32)
+    gain_per_feature = jnp.zeros(n_f, jnp.float32)
+
+    node = jnp.zeros(n, jnp.int32)
+
+    for d in range(depth):
+        n_nodes = 2 ** d
+        level_start = n_nodes - 1
+        local = node - level_start
+        in_level = (local >= 0) & (local < n_nodes) & ~is_leaf[jnp.clip(node, 0, n_internal - 1)]
+
+        hist = _build_level_hist(binned_T, grad, hess, local, in_level,
+                                 n_nodes, n_bins_tot, axis_name)
+        hg, hh = hist[..., 0], hist[..., 1]  # [F, L, B+1]
+        g_tot = jnp.sum(hg, axis=(0, 2)) / n_f  # per node; same for all f
+        h_tot = jnp.sum(hh, axis=(0, 2)) / n_f
+        # (all features see every row, so summing any single feature's bins
+        # gives the node totals; averaging over F is numerically tidier)
+
+        g_miss = hg[..., missing_id]  # [F, L]
+        h_miss = hh[..., missing_id]
+        cg = jnp.cumsum(hg[..., :missing_id], axis=-1)  # [F, L, B]
+        ch = jnp.cumsum(hh[..., :missing_id], axis=-1)
+
+        parent = _score(g_tot, h_tot, p.reg_alpha, p.reg_lambda)  # [L]
+
+        def split_gain(gl, hl):
+            gr = g_tot[None, :, None] - gl
+            hr = h_tot[None, :, None] - hl
+            gain = 0.5 * (
+                _score(gl, hl, p.reg_alpha, p.reg_lambda)
+                + _score(gr, hr, p.reg_alpha, p.reg_lambda)
+                - parent[None, :, None]
+            )
+            ok = (hl >= p.min_child_weight) & (hr >= p.min_child_weight)
+            return jnp.where(ok & col_mask[:, None, None], gain, -jnp.inf)
+
+        gain_right = split_gain(cg, ch)  # missing goes right
+        gain_left = split_gain(cg + g_miss[..., None], ch + h_miss[..., None])
+
+        gain_fb = jnp.maximum(gain_right, gain_left)  # [F, L, B]
+        dleft_fb = gain_left > gain_right
+
+        flat = gain_fb.transpose(1, 0, 2).reshape(n_nodes, -1)  # [L, F*B]
+        best_idx = jnp.argmax(flat, axis=-1)
+        best_gain = jnp.take_along_axis(flat, best_idx[:, None], 1)[:, 0]
+        best_f = (best_idx // missing_id).astype(jnp.int32)
+        best_b = (best_idx % missing_id).astype(jnp.int32)
+        best_dl = dleft_fb.transpose(1, 0, 2).reshape(n_nodes, -1)[
+            jnp.arange(n_nodes), best_idx]
+
+        make_leaf = best_gain <= p.min_split_gain  # covers -inf / empty nodes
+        ids = level_start + jnp.arange(n_nodes)
+
+        feature = feature.at[ids].set(jnp.where(make_leaf, 0, best_f))
+        split_bin = split_bin.at[ids].set(jnp.where(make_leaf, -1, best_b))
+        default_left = default_left.at[ids].set(jnp.where(make_leaf, False, best_dl))
+        is_leaf = is_leaf.at[ids].set(make_leaf)
+        leaf_value = leaf_value.at[ids].set(jnp.where(
+            make_leaf,
+            _leaf_weight(g_tot, h_tot, p.reg_alpha, p.reg_lambda, p.learning_rate),
+            0.0,
+        ))
+
+        gain_per_feature = gain_per_feature + jax.ops.segment_sum(
+            jnp.where(make_leaf, 0.0, best_gain), best_f, num_segments=n_f)
+
+        # route rows at this level (non-leaf nodes) to children
+        feat_n = feature[jnp.clip(node, 0, n_internal - 1)]
+        sbin_n = split_bin[jnp.clip(node, 0, n_internal - 1)]
+        dleft_n = default_left[jnp.clip(node, 0, n_internal - 1)]
+        bv = jnp.take_along_axis(binned, feat_n[:, None], axis=1)[:, 0]
+        is_missing = bv == missing_id
+        go_left = jnp.where(is_missing, dleft_n, bv <= sbin_n)
+        child = 2 * node + jnp.where(go_left, 1, 2)
+        stays = ~in_level | is_leaf[jnp.clip(node, 0, n_internal - 1)]
+        node = jnp.where(stays, node, child)
+
+    # terminal leaves at the last level
+    leaf_start = 2 ** depth - 1
+    local = node - leaf_start
+    at_leaf_level = (local >= 0) & (local < 2 ** depth)
+    seg = jnp.where(at_leaf_level, local, 2 ** depth)
+    sums = jax.ops.segment_sum(
+        jnp.stack([grad, hess], -1), seg, num_segments=2 ** depth + 1)[:-1]
+    sums = _psum(sums, axis_name)
+    lv = _leaf_weight(sums[:, 0], sums[:, 1], p.reg_alpha, p.reg_lambda,
+                      p.learning_rate)
+    lv = jnp.where(sums[:, 1] > 0, lv, 0.0)
+    leaf_value = leaf_value.at[leaf_start:].set(lv)
+
+    tree = (feature, split_bin, default_left, is_leaf, leaf_value)
+    return tree, gain_per_feature, node
+
+
+def _predict_tree(tree, binned, missing_id, depth):
+    """Leaf value per row for one tree (vectorized routing)."""
+    feature, split_bin, default_left, is_leaf, leaf_value = tree
+    n_internal = feature.shape[0]
+    n = binned.shape[0]
+    node = jnp.zeros(n, jnp.int32)
+    for _ in range(depth):
+        cn = jnp.clip(node, 0, n_internal - 1)
+        feat = feature[cn]
+        bv = jnp.take_along_axis(binned, feat[:, None], axis=1)[:, 0]
+        is_missing = bv == missing_id
+        go_left = jnp.where(is_missing, default_left[cn], bv <= split_bin[cn])
+        child = 2 * node + jnp.where(go_left, 1, 2)
+        stays = (node >= n_internal) | is_leaf[cn]
+        node = jnp.where(stays, node, child)
+    return leaf_value[node]
+
+
+def train_gbdt(
+    X_train: np.ndarray,
+    y_train: np.ndarray,
+    params: GBDTParams = GBDTParams(),
+    sample_weight: Optional[np.ndarray] = None,
+    scale_pos_weight: float = 1.0,
+    objective: Optional[Objective] = None,
+    X_val: Optional[np.ndarray] = None,
+    y_val: Optional[np.ndarray] = None,
+    early_stopping_rounds: Optional[int] = None,
+    bin_spec: Optional[BinSpec] = None,
+    axis_name: Optional[str] = None,
+) -> GBDTModel:
+    """Fit a boosted-tree model. Host-facing wrapper around a fully-jitted
+    scan; mirrors ``xgb.train`` with the reference's parameter surface."""
+    if objective is None:
+        objective = objectives.logistic
+    if bin_spec is None:
+        bin_spec = fit_bins(np.asarray(X_train), params.n_bins)
+
+    binned = apply_bins(bin_spec, jnp.asarray(X_train, jnp.float32))
+    y = jnp.asarray(y_train, jnp.float32)
+    w = jnp.ones_like(y) if sample_weight is None else jnp.asarray(sample_weight, jnp.float32)
+    w = w * jnp.where(y > 0.5, scale_pos_weight, 1.0)
+
+    has_val = X_val is not None
+    if has_val:
+        binned_val = apply_bins(bin_spec, jnp.asarray(X_val, jnp.float32))
+        yv = jnp.asarray(y_val, jnp.float32)
+    else:
+        binned_val = binned[:1]
+        yv = y[:1]
+
+    forest, imp, hist = _fit_jit(
+        binned, y, w, binned_val, yv, params, objective, has_val, axis_name)
+
+    best_it = -1
+    if has_val:
+        h = np.asarray(hist)
+        if early_stopping_rounds:
+            best, best_i = np.inf, 0
+            stop = len(h)
+            for i, v in enumerate(h):
+                if v < best:
+                    best, best_i = v, i
+                elif i - best_i >= early_stopping_rounds:
+                    stop = i
+                    break
+            best_it = best_i
+        else:
+            best_it = int(np.argmin(h))
+
+    return GBDTModel(forest=forest, bin_spec=bin_spec, params=params,
+                     importance_gain=imp, eval_history=hist,
+                     best_iteration=best_it)
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def _fit_jit(binned, y, w, binned_val, yv, params: GBDTParams,
+             objective, has_val: bool, axis_name):
+    n, n_f = binned.shape
+    depth = params.max_depth
+    missing_id = params.n_bins
+    binned_T = binned.T  # [F, N]
+
+    k_cols = max(1, int(round(params.colsample_bytree * n_f)))
+
+    def round_step(carry, rkey):
+        margin, margin_val = carry
+        k_sub, k_col = jax.random.split(rkey)
+
+        grad, hess = objective(margin, y, w)
+        if params.subsample < 1.0:
+            # per-row Bernoulli; under a mesh each shard draws its own rows
+            if axis_name:
+                k_sub = jax.random.fold_in(k_sub, jax.lax.axis_index(axis_name))
+            m = jax.random.uniform(k_sub, (n,)) < params.subsample
+            grad = jnp.where(m, grad, 0.0)
+            hess = jnp.where(m, hess, 0.0)
+
+        if params.colsample_bytree < 1.0:
+            perm = jax.random.permutation(k_col, n_f)
+            col_mask = jnp.zeros(n_f, bool).at[perm[:k_cols]].set(True)
+        else:
+            col_mask = jnp.ones(n_f, bool)
+
+        tree, gains, node_assign = _train_tree(
+            binned_T, binned, grad, hess, col_mask, params, axis_name)
+
+        leaf_value = tree[4]
+        margin = margin + leaf_value[node_assign]
+        if has_val:
+            margin_val = margin_val + _predict_tree(tree, binned_val, missing_id, depth + 1)
+            # weighted global logloss under a mesh
+            p = jax.nn.sigmoid(margin_val)
+            eps = 1e-16
+            ll = -(yv * jnp.log(jnp.clip(p, eps, 1.0))
+                   + (1 - yv) * jnp.log(jnp.clip(1 - p, eps, 1.0)))
+            num = _psum(jnp.sum(ll), axis_name)
+            den = _psum(jnp.asarray(ll.size, jnp.float32), axis_name)
+            metric = num / den
+        else:
+            metric = jnp.nan
+
+        return (margin, margin_val), (tree, gains, metric)
+
+    keys = jax.random.split(jax.random.PRNGKey(params.seed), params.n_rounds)
+    init = (jnp.zeros(n, jnp.float32), jnp.zeros(binned_val.shape[0], jnp.float32))
+    _, (trees, gains, metrics) = jax.lax.scan(round_step, init, keys)
+
+    forest = Forest(feature=trees[0], split_bin=trees[1], default_left=trees[2],
+                    is_leaf=trees[3], leaf_value=trees[4])
+    return forest, jnp.sum(gains, axis=0), metrics
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _predict_margin_jit(forest: Forest, binned, cfg):
+    missing_id, depth, n_trees = cfg
+
+    def body(margin, tree):
+        return margin + _predict_tree(tree, binned, missing_id, depth + 1), None
+
+    trees = (forest.feature, forest.split_bin, forest.default_left,
+             forest.is_leaf, forest.leaf_value)
+    if n_trees is not None:
+        trees = jax.tree.map(lambda a: a[:n_trees], trees)
+    margin, _ = jax.lax.scan(body, jnp.zeros(binned.shape[0], jnp.float32), trees)
+    return margin
+
+
+def predict_margin(model: GBDTModel, X: np.ndarray,
+                   n_trees: Optional[int] = None) -> jnp.ndarray:
+    """Raw margin. If the model early-stopped, uses best_iteration+1 trees
+    (xgboost's ``predict`` semantics with early stopping)."""
+    if n_trees is None and model.best_iteration >= 0:
+        n_trees = model.best_iteration + 1
+    binned = apply_bins(model.bin_spec, jnp.asarray(X, jnp.float32))
+    cfg = (model.params.n_bins, model.params.max_depth, n_trees)
+    return _predict_margin_jit(model.forest, binned, cfg)
+
+
+def predict_proba(model: GBDTModel, X: np.ndarray,
+                  n_trees: Optional[int] = None) -> jnp.ndarray:
+    return jax.nn.sigmoid(predict_margin(model, X, n_trees))

@@ -1,0 +1,67 @@
+"""Gradient/hessian objectives for the GBDT.
+
+An objective is ``fn(margin, label, weight) -> (grad, hess)`` evaluated on
+raw margins (pre-sigmoid). ``weight`` already folds in per-sample weights
+(adversarial-validation weights in the winning pipeline) and
+``scale_pos_weight``.
+
+The focal loss matches the reference's custom XGBoost objective
+(reference: non_successful_tests/scripts/train_v92_focal_adversarial.py:108-150),
+including its exact grad/hess algebra so the trained trees agree.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def logistic(margin, label, weight):
+    """binary:logistic — grad = w*(p - y), hess = w*p*(1-p)."""
+    p = 1.0 / (1.0 + jnp.exp(-margin))
+    grad = weight * (p - label)
+    hess = weight * p * (1.0 - p)
+    return grad, hess
+
+
+def make_focal(gamma: float, alpha: float):
+    """Focal-loss objective (reference v92 Adversarial_Focal_Loss).
+
+    The sample weights (adversarial) arrive via ``weight``; alpha-balancing
+    is applied per label as in the reference (:122).
+    """
+
+    def focal(margin, label, weight):
+        p = 1.0 / (1.0 + jnp.exp(-margin))
+        alpha_t = label * alpha + (1.0 - label) * (1.0 - alpha)
+
+        def robust_pow(base, power):
+            return jnp.sign(base) * jnp.abs(base) ** power
+
+        sign = (-1.0) ** label  # +1 for label 0, -1 for label 1
+        g1 = p * (1.0 - p)
+        g2 = label + sign * p
+        g3 = p + label - 1.0
+        g4 = 1.0 - label - sign * p
+        g5 = label + sign * p
+
+        grad = weight * alpha_t * (
+            gamma * g3 * robust_pow(g2, gamma) * jnp.log(g4 + 1e-9)
+            + sign * robust_pow(g5, gamma + 1.0)
+        )
+        hess_1 = robust_pow(g2, gamma) + gamma * sign * g3 * robust_pow(g2, gamma - 1.0)
+        hess_2 = sign * g3 * robust_pow(g2, gamma) / (g4 + 1e-9)
+        hess = weight * alpha_t * (
+            (hess_1 * jnp.log(g4 + 1e-9) - hess_2) * gamma
+            + (gamma + 1.0) * robust_pow(g5, gamma)
+        ) * g1
+        return grad, hess
+
+    return focal
+
+
+def logloss_metric(margin, label):
+    """Unweighted binary logloss (XGBoost eval_metric='logloss')."""
+    p = 1.0 / (1.0 + jnp.exp(-margin))
+    eps = 1e-16
+    p = jnp.clip(p, eps, 1.0 - eps)
+    return -jnp.mean(label * jnp.log(p) + (1.0 - label) * jnp.log(1.0 - p))

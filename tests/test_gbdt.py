@@ -1,0 +1,108 @@
+"""GBDT: exact parity vs the loop-based NumPy oracle + functional checks."""
+
+import numpy as np
+import pytest
+
+from mallorn_tpu.trees import (BinSpec, GBDTParams, apply_bins, fit_bins,
+                               predict_margin, predict_proba, train_gbdt)
+from mallorn_tpu.trees import objectives
+
+
+def _make_data(n=400, f=8, seed=0, nan_frac=0.15):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, f)).astype(np.float32)
+    logit = 1.5 * X[:, 0] - 2.0 * X[:, 1] + X[:, 2] * X[:, 3]
+    y = (logit + rng.normal(scale=0.5, size=n) > 0).astype(np.float32)
+    # informative missingness on feature 4
+    nan_mask = rng.uniform(size=n) < nan_frac + 0.2 * y
+    X[nan_mask, 4] = np.nan
+    return X, y
+
+
+def test_matches_numpy_oracle():
+    from tests.oracles.gbdt_oracle import OracleGBDT
+
+    X, y = _make_data(300, 6, seed=3)
+    params = GBDTParams(n_rounds=15, max_depth=3, learning_rate=0.1,
+                        subsample=1.0, colsample_bytree=1.0,
+                        min_child_weight=3.0, reg_alpha=0.2, reg_lambda=1.5,
+                        n_bins=64)
+    w = np.ones_like(y)
+
+    model = train_gbdt(X, y, params, sample_weight=w)
+    ours = np.asarray(predict_margin(model, X, n_trees=params.n_rounds))
+
+    spec = fit_bins(X, 64)
+    binned = np.asarray(apply_bins(spec, X))
+    oracle = OracleGBDT(n_rounds=15, max_depth=3, learning_rate=0.1,
+                        reg_alpha=0.2, reg_lambda=1.5, min_child_weight=3.0,
+                        n_bins=64)
+    oracle.fit(binned, y.astype(np.float64), w.astype(np.float64))
+    want = oracle.predict_margin(binned)
+
+    np.testing.assert_allclose(ours, want, rtol=2e-3, atol=2e-3)
+
+
+def test_learns_separable():
+    X, y = _make_data(800, 8, seed=1)
+    model = train_gbdt(X, y, GBDTParams(n_rounds=150, max_depth=4,
+                                        learning_rate=0.1))
+    p = np.asarray(predict_proba(model, X, n_trees=150))
+    acc = ((p > 0.5) == y).mean()
+    assert acc > 0.93, acc
+
+
+def test_early_stopping_and_history():
+    X, y = _make_data(600, 8, seed=2)
+    Xt, yt, Xv, yv = X[:400], y[:400], X[400:], y[400:]
+    model = train_gbdt(Xt, yt,
+                       GBDTParams(n_rounds=200, max_depth=4, learning_rate=0.3),
+                       X_val=Xv, y_val=yv, early_stopping_rounds=20)
+    h = np.asarray(model.eval_history)
+    assert np.isfinite(h).all()
+    assert model.best_iteration >= 0
+    assert h[model.best_iteration] <= h[0]
+    # best under the walk-forward rule is a prefix argmin
+    assert h[model.best_iteration] == h[: model.best_iteration + 21].min()
+
+
+def test_nan_default_direction_learned():
+    rng = np.random.default_rng(5)
+    n = 600
+    y = rng.integers(0, 2, n).astype(np.float32)
+    X = rng.normal(size=(n, 3)).astype(np.float32)
+    # feature 0: NaN iff label 1 (pure missingness signal)
+    X[y == 1, 0] = np.nan
+    model = train_gbdt(X, y, GBDTParams(n_rounds=30, max_depth=2,
+                                        learning_rate=0.3, subsample=1.0,
+                                        colsample_bytree=1.0,
+                                        min_child_weight=0.0))
+    p = np.asarray(predict_proba(model, X, n_trees=30))
+    assert ((p > 0.5) == y).mean() > 0.99
+
+
+def test_scale_pos_weight_shifts_up():
+    X, y = _make_data(500, 8, seed=4)
+    m1 = train_gbdt(X, y, GBDTParams(n_rounds=50))
+    m2 = train_gbdt(X, y, GBDTParams(n_rounds=50), scale_pos_weight=5.0)
+    p1 = np.asarray(predict_proba(m1, X, n_trees=50)).mean()
+    p2 = np.asarray(predict_proba(m2, X, n_trees=50)).mean()
+    assert p2 > p1
+
+
+def test_focal_objective_runs():
+    X, y = _make_data(400, 6, seed=6)
+    obj = objectives.make_focal(gamma=2.0, alpha=0.85)
+    model = train_gbdt(X, y, GBDTParams(n_rounds=40, learning_rate=0.1),
+                       objective=obj)
+    p = np.asarray(predict_proba(model, X, n_trees=40))
+    assert ((p > 0.5) == y).mean() > 0.8
+
+
+def test_importance_finds_signal_features():
+    X, y = _make_data(800, 8, seed=7)
+    model = train_gbdt(X, y, GBDTParams(n_rounds=60, subsample=1.0,
+                                        colsample_bytree=1.0))
+    imp = np.asarray(model.importance_gain)
+    # features 0 and 1 carry the linear signal
+    assert set(np.argsort(imp)[-3:]) & {0, 1}
