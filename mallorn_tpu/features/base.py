@@ -52,6 +52,7 @@ def vmap_features(kernel: Callable[..., FeatureSet]):
     The kernel's first argument is an ObjectView of one object; any further
     positional args are per-object scalars (e.g. redshift [N]).
     """
+    @jax.jit
     def extract(packed: PackedLightcurves, *per_object_args) -> FeatureSet:
         view = object_view(packed)
         return jax.vmap(kernel)(view, *per_object_args)

@@ -174,8 +174,9 @@ def interp_at(times, values, mask, target_time, max_gap: float = 50.0):
     """
     n = count(mask)
     t = jnp.where(mask, times, _BIG)
+    tt = jnp.asarray(target_time)[..., None]  # [..., 1] vs t [..., T]
     # index of first time >= target (np.searchsorted 'left')
-    ge = (t >= target_time) & mask
+    ge = (t >= tt) & mask
     idx = jnp.argmax(ge, axis=-1)  # first True; 0 if none
     any_ge = jnp.any(ge, axis=-1)
 
