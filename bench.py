@@ -71,36 +71,55 @@ def get_data():
 def main():
     import jax
 
+    cache_dir = Path(__file__).parent / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     log(f"devices: {jax.devices()}")
     (tr_packed, tr_meta), (te_packed, te_meta) = get_data()
 
-    from mallorn_tpu.features import statistical
-    from mallorn_tpu.features.base import feature_matrix
+    from mallorn_tpu.train import pipelines
     from mallorn_tpu.train.cv import train_cv
-    from mallorn_tpu.train.pipelines import V34A_PARAMS
 
     t0 = time.perf_counter()
 
-    feats_tr = statistical.extract(tr_packed, tr_meta)
-    X_tr, names = feature_matrix(feats_tr)
-    feats_te = statistical.extract(te_packed, te_meta)
-    X_te, _ = feature_matrix(feats_te, names)
-    X_tr = np.nan_to_num(X_tr, nan=np.nan, posinf=1e10, neginf=-1e10)
-    X_te = np.nan_to_num(X_te, nan=np.nan, posinf=1e10, neginf=-1e10)
+    # full v92d workload: all 4 feature families (224-col contract),
+    # selection, adversarial validation, winning config training
+    tr_bundle = pipelines.extract_v34a_bundle(tr_packed, tr_meta)
+    te_bundle = pipelines.extract_v34a_bundle(te_packed, te_meta)
     t_feat = time.perf_counter() - t0
-    log(f"feature extraction ({X_tr.shape[1]} features, "
+    n_feats = sum(len(v) for v in tr_bundle.values())
+    log(f"feature extraction ({n_feats} raw features, "
         f"{N_TRAIN + N_TEST} objects): {t_feat:.2f}s")
 
     t1 = time.perf_counter()
-    cv = train_cv(X_tr, tr_meta.target, X_te, V34A_PARAMS,
-                  early_stopping_rounds=50, verbose=False)
-    t_train = time.perf_counter() - t1
-    log(f"5-fold GBDT train+predict: {t_train:.2f}s, OOF F1={cv.best_f1:.4f} "
-        f"@ {cv.best_threshold:.3f}")
+    from mallorn_tpu.features.base import feature_matrix
+    from mallorn_tpu.train.feature_selection import select_features
+
+    Xv4, v4_names = feature_matrix(tr_bundle["features_v4"])
+    Xv4 = pipelines._finite_or_nan(Xv4)
+    sel_cv = train_cv(Xv4, tr_meta.target, None,
+                      pipelines.V34A_PARAMS._replace(n_rounds=200))
+    selection = select_features(Xv4, v4_names, sel_cv.importance_gain, 120)
+    X_tr, names = pipelines.assemble_v34a_matrix(tr_bundle, selection.selected)
+    X_te, _ = pipelines.assemble_v34a_matrix(te_bundle, selection.selected)
+    log(f"selection pass: {time.perf_counter() - t1:.2f}s "
+        f"({len(names)} assembled features)")
+
+    t2 = time.perf_counter()
+    out = pipelines.run_v92(X_tr, tr_meta.target, names, X_te,
+                            variants={"v92d_baseline_adv":
+                                      {"gamma": 0.0, "use_scale_pos_weight": True}})
+    t_train = time.perf_counter() - t2
+    winner = out.winner
+    log(f"adversarial + v92d train: {t_train:.2f}s, "
+        f"OOF F1={winner.best_f1:.4f} @ {winner.best_threshold:.3f}, "
+        f"adv AUC={out.adversarial.auc:.3f}")
 
     total = time.perf_counter() - t0
     print(json.dumps({
-        "metric": "e2e_pipeline_seconds_10178obj",
+        "metric": "e2e_v92d_pipeline_seconds_10178obj",
         "value": round(total, 2),
         "unit": "s",
         "vs_baseline": round(REF_PIPELINE_SECONDS / total, 2),

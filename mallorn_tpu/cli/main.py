@@ -1,0 +1,217 @@
+"""mallorn — single CLI entry point.
+
+Replaces the reference's 166 versioned scripts (SURVEY.md §5.6) with one
+declarative interface:
+
+  mallorn synth    --out data/ --n-objects 1000        make synthetic data
+  mallorn extract  --data data/ --cache cache/          feature extraction
+  mallorn train    --data data/ --cache cache/ --config v92d
+  mallorn predict  --data data/ --cache cache/ --model artifacts/
+Configs: baseline | v34a | v92a..d | v104 | v42 (matching BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _log(msg):
+    print(msg, flush=True)
+
+
+def cmd_synth(args):
+    from mallorn_tpu.data.synthetic import generate_dataset, write_reference_layout
+
+    for split, n, seed in (("train", args.n_objects, args.seed),
+                           ("test", int(args.n_objects * 2.33), args.seed + 1)):
+        _, meta, cols = generate_dataset(n, seed=seed, tde_frac=0.05)
+        write_reference_layout(args.out, cols, meta, split=split)
+        _log(f"wrote {split}: {n} objects under {args.out}")
+
+
+FAMILIES = ("features_v4", "tde_physics", "multiband_gp", "bazin",
+            "research", "powerlaw")
+
+
+def _extract_family(family, packed, meta, gp_steps):
+    from mallorn_tpu.features import bazin, multiband_gp, powerlaw, research, tde
+    from mallorn_tpu.train.pipelines import extract_features_v4
+
+    if family == "features_v4":
+        return extract_features_v4(packed, meta)
+    if family == "tde_physics":
+        return tde.extract(packed)
+    if family == "multiband_gp":
+        return multiband_gp.extract(packed, meta, n_steps=gp_steps)
+    if family == "bazin":
+        return bazin.extract(packed)
+    if family == "research":
+        return research.extract(packed, meta)
+    if family == "powerlaw":
+        return powerlaw.extract(packed)
+    raise ValueError(f"unknown family {family}")
+
+
+def cmd_extract(args):
+    from mallorn_tpu.data.loader import load_all_data
+    from mallorn_tpu.io.cache import save_features
+
+    data = load_all_data(Path(args.data))
+    cache = Path(args.cache)
+    families = args.families.split(",") if args.families else FAMILIES
+    for split in ("train", "test"):
+        if f"{split}_packed" not in data:
+            continue
+        packed, meta = data[f"{split}_packed"], data[f"{split}_meta"]
+        for family in families:
+            t0 = time.perf_counter()
+            feats = _extract_family(family, packed, meta, args.gp_steps)
+            save_features(cache / f"{family}_{split}.npz", feats, meta.object_ids)
+            _log(f"{split}/{family}: {len(feats)} features "
+                 f"in {time.perf_counter() - t0:.1f}s")
+
+
+def _load_matrices(cache, split, families):
+    from mallorn_tpu.io.cache import load_features
+
+    mats, names = [], []
+    for fam in families:
+        m, n, _ = load_features(Path(cache) / f"{fam}_{split}.npz")
+        mats.append(m)
+        names.extend(n)
+    return np.concatenate(mats, axis=1), names
+
+
+def cmd_train(args):
+    from mallorn_tpu.data.loader import load_all_data, load_metadata
+    from mallorn_tpu.io.submission import write_submission
+    from mallorn_tpu.train import pipelines
+    from mallorn_tpu.train.cv import train_cv
+    from mallorn_tpu.train.feature_selection import select_features
+
+    log = load_metadata(Path(args.data), "train")
+    y = log["target"].to_numpy()
+    object_ids_test = None
+    try:
+        object_ids_test = load_metadata(Path(args.data), "test")["object_id"].to_numpy()
+    except FileNotFoundError:
+        pass
+
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    if args.config == "baseline":
+        Xtr, names = _load_matrices(args.cache, "train", ["features_v4"])
+        Xte = None
+        if object_ids_test is not None:
+            Xte, _ = _load_matrices(args.cache, "test", ["features_v4"])
+        Xtr = np.nan_to_num(Xtr, nan=0.0, posinf=0.0, neginf=0.0)
+        Xte = np.nan_to_num(Xte, nan=0.0, posinf=0.0, neginf=0.0) if Xte is not None else None
+        cv = train_cv(Xtr, y, Xte, pipelines.BASELINE_PARAMS, verbose=True)
+        result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold}
+        test_preds = cv.test_preds
+        threshold = cv.best_threshold
+    else:
+        fams = ["features_v4", "tde_physics", "multiband_gp", "bazin"]
+        Xv4, v4_names = _load_matrices(args.cache, "train", ["features_v4"])
+        Xv4 = pipelines._finite_or_nan(Xv4)
+        sel_cv = train_cv(Xv4, y, None, pipelines.V34A_PARAMS._replace(n_rounds=200))
+        selection = select_features(Xv4, v4_names, sel_cv.importance_gain, 120)
+
+        sel_idx = [v4_names.index(n) for n in selection.selected]
+        Xtr_all, all_names = _load_matrices(args.cache, "train", fams)
+        keep = sel_idx + list(range(len(v4_names), len(all_names)))
+        names = [all_names[i] for i in keep]
+        Xtr = pipelines._finite_or_nan(Xtr_all[:, keep])
+        Xte = None
+        if object_ids_test is not None:
+            Xte_all, _ = _load_matrices(args.cache, "test", fams)
+            Xte = pipelines._finite_or_nan(Xte_all[:, keep])
+
+        if args.config == "v34a":
+            cv = train_cv(Xtr, y, Xte, pipelines.V34A_PARAMS, verbose=True)
+            result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold,
+                      "n_features": len(names)}
+            test_preds, threshold = cv.test_preds, cv.best_threshold
+        elif args.config.startswith("v92"):
+            out = pipelines.run_v92(Xtr, y, names, Xte, verbose=True)
+            key = {"v92": "v92d_baseline_adv", "v92d": "v92d_baseline_adv",
+                   "v92a": "v92a_focal_adv_g1_a85", "v92b": "v92b_focal_adv_g2_a85",
+                   "v92c": "v92c_focal_adv_g2_a90"}[args.config]
+            cv = out.variants[key]
+            result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold,
+                      "adv_auc": out.adversarial.auc,
+                      "n_features": len(out.feature_names)}
+            test_preds, threshold = cv.test_preds, cv.best_threshold
+        elif args.config == "v104":
+            out = pipelines.run_v92(Xtr, y, names, Xte,
+                                    variants={"v92d_baseline_adv":
+                                              {"gamma": 0.0, "use_scale_pos_weight": True}})
+            oof, test_preds, f1s = pipelines.run_seed_ensemble(
+                pipelines._finite_or_nan(np.asarray(Xtr)[:, [i for i, n in enumerate(names)
+                                                             if n not in pipelines.SHIFT_FEATURES]]),
+                y,
+                pipelines._finite_or_nan(np.asarray(Xte)[:, [i for i, n in enumerate(names)
+                                                             if n not in pipelines.SHIFT_FEATURES]]),
+                sample_weight=out.adversarial.sample_weights, verbose=True)
+            from mallorn_tpu.train.cv import threshold_sweep
+            f1, threshold = threshold_sweep(y, oof, np.linspace(0.05, 0.5, 200))
+            result = {"oof_f1": f1, "threshold": threshold, "seed_f1s": f1s}
+        elif args.config == "v42":
+            base = train_cv(Xtr, y, Xte, pipelines.V34A_PARAMS)
+            cv = pipelines.run_pseudo_label(Xtr, y, Xte, base.test_preds, verbose=True)
+            result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold}
+            test_preds, threshold = cv.test_preds, cv.best_threshold
+        else:
+            raise SystemExit(f"unknown config {args.config}")
+
+    (out_dir / f"result_{args.config}.json").write_text(
+        json.dumps(result, default=float, indent=2))
+    _log(json.dumps(result, default=float))
+
+    if object_ids_test is not None and test_preds is not None:
+        sub = write_submission(out_dir / f"submission_{args.config}.csv",
+                               object_ids_test, (test_preds > threshold).astype(int))
+        _log(f"submission: {sub}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="mallorn",
+                                description="TPU-native MALLORN pipeline")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("synth", help="generate synthetic data")
+    ps.add_argument("--out", required=True)
+    ps.add_argument("--n-objects", type=int, default=300)
+    ps.add_argument("--seed", type=int, default=0)
+    ps.set_defaults(fn=cmd_synth)
+
+    pe = sub.add_parser("extract", help="extract + cache features")
+    pe.add_argument("--data", required=True)
+    pe.add_argument("--cache", required=True)
+    pe.add_argument("--families", default=None,
+                    help=f"comma list of {','.join(FAMILIES)}")
+    pe.add_argument("--gp-steps", type=int, default=200)
+    pe.set_defaults(fn=cmd_extract)
+
+    pt = sub.add_parser("train", help="train a pipeline config")
+    pt.add_argument("--data", required=True)
+    pt.add_argument("--cache", required=True)
+    pt.add_argument("--config", default="v92d",
+                    choices=["baseline", "v34a", "v92", "v92a", "v92b", "v92c",
+                             "v92d", "v104", "v42"])
+    pt.add_argument("--out", default="artifacts")
+    pt.set_defaults(fn=cmd_train)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

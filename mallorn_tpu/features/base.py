@@ -74,13 +74,23 @@ def feature_matrix_jnp(features: FeatureSet, names: Sequence[str]) -> jnp.ndarra
     return jnp.stack([features[n].astype(jnp.float32) for n in names], axis=1)
 
 
-def merge(*feature_sets: FeatureSet) -> FeatureSet:
-    """Left-to-right merge; duplicate names must match the reference's merge
-    semantics (later modules never silently overwrite earlier ones)."""
+def merge(*feature_sets: FeatureSet, pandas_suffix: bool = False) -> FeatureSet:
+    """Left-to-right merge of feature sets.
+
+    With ``pandas_suffix=True``, name collisions are renamed ``_x``/``_y``
+    exactly as the reference's pandas merges do (e.g. ``temp_stability``
+    exists in both the colors and tde-physics caches; v34a's merge produces
+    ``temp_stability_x``/``temp_stability_y`` — scripts/train_v34a_bazin.py:75-90).
+    Without it, collisions raise.
+    """
     out: Dict[str, jnp.ndarray] = {}
     for fs in feature_sets:
         for k, v in fs.items():
             if k in out:
-                raise ValueError(f"duplicate feature name across modules: {k}")
-            out[k] = v
+                if not pandas_suffix:
+                    raise ValueError(f"duplicate feature name across modules: {k}")
+                out[f"{k}_x"] = out.pop(k)
+                out[f"{k}_y"] = v
+            else:
+                out[k] = v
     return out

@@ -1,0 +1,4 @@
+from mallorn_tpu.models.data import SequenceBatch, make_sequence_batch
+from mallorn_tpu.models.lstm import LSTMClassifier
+from mallorn_tpu.models.transformer import TransformerClassifier
+from mallorn_tpu.models.atat import ATAT

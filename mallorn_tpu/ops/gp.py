@@ -1,0 +1,141 @@
+"""Batched 2D Gaussian-process machinery (Matern-3/2, time x wavelength).
+
+The TPU replacement for the reference's per-object george GP + L-BFGS-B
+loop (reference: src/features/multiband_gp.py:90-194, ~10k serial C++
+kernel builds + Cholesky solves + ~100 L-BFGS iterations each,
+20-30 min for the test split). Here: every object is one lane of a
+batched (masked, padded) kernel build + Cholesky + marginal-likelihood
+Adam optimization — the whole dataset factorizes per optimizer step as
+one [N, T, T] batched Cholesky.
+
+Kernel (george Matern32Kernel with metric=[l_t^2, l_w^2], ndim=2):
+  k(x, x') = amp * (1 + sqrt(3) r) exp(-sqrt(3) r),
+  r^2 = dt^2/l_t^2 + dl^2/l_w^2
+plus observational noise on the diagonal and a constant mean fitted
+jointly (george fit_mean=True).
+
+Parameters are optimized in log space: p = (mean, log_amp, log_lt2,
+log_lw2), matching george's parametrization so optima land in the same
+space the reference's features are read from.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_JITTER = 1e-6
+_SQRT3 = 1.7320508075688772
+
+
+class GPFit(NamedTuple):
+    params: jnp.ndarray  # [N, 4] (mean, log_amp, log_lt2, log_lw2)
+    log_likelihood: jnp.ndarray  # [N]
+    valid: jnp.ndarray  # [N] bool
+
+
+def _kernel_matrix(t, lam, mask, log_amp, log_lt2, log_lw2):
+    """Masked Matern-3/2 kernel matrix [T, T] (padded rows -> identity)."""
+    dt2 = (t[:, None] - t[None, :]) ** 2
+    dl2 = (lam[:, None] - lam[None, :]) ** 2
+    r = jnp.sqrt(dt2 / jnp.exp(log_lt2) + dl2 / jnp.exp(log_lw2) + 1e-30)
+    k = jnp.exp(log_amp) * (1.0 + _SQRT3 * r) * jnp.exp(-_SQRT3 * r)
+    mm = mask[:, None] & mask[None, :]
+    return jnp.where(mm, k, 0.0)
+
+
+def _nll(params, t, lam, y, yerr, mask):
+    """Negative log marginal likelihood of one lane (masked)."""
+    mean, log_amp, log_lt2, log_lw2 = params
+    n = jnp.sum(mask)
+    K = _kernel_matrix(t, lam, mask, log_amp, log_lt2, log_lw2)
+    diag = jnp.where(mask, yerr ** 2 + _JITTER, 1.0)
+    K = K + jnp.diag(diag)
+    L = jnp.linalg.cholesky(K)
+    r = jnp.where(mask, y - mean, 0.0)
+    alpha = jax.scipy.linalg.cho_solve((L, True), r)
+    logdet = 2.0 * jnp.sum(jnp.where(mask, jnp.log(jnp.diagonal(L)), 0.0))
+    return 0.5 * (r @ alpha + logdet + n * jnp.log(2.0 * jnp.pi))
+
+
+def fit_gp_batched(
+    t: jnp.ndarray,  # [N, T] times (zeroed origin)
+    lam: jnp.ndarray,  # [N, T] wavelengths (Angstrom)
+    y: jnp.ndarray,  # [N, T] normalized fluxes
+    yerr: jnp.ndarray,  # [N, T] normalized errors
+    mask: jnp.ndarray,  # [N, T]
+    init_time_scale: float = 100.0,
+    init_wave_scale: float = 6000.0,
+    n_steps: int = 200,
+    lr: float = 0.1,
+) -> GPFit:
+    """Optimize hyperparameters for every lane with batched Adam.
+
+    Init matches the reference (:94-95, 124-135): amp = var(y),
+    metric = [100^2, 6000^2], mean = mean(y).
+    """
+    nvalid = jnp.sum(mask, axis=1)
+    nf = jnp.maximum(nvalid, 1).astype(y.dtype)
+    mu0 = jnp.sum(jnp.where(mask, y, 0.0), 1) / nf
+    var0 = jnp.sum(jnp.where(mask, (y - mu0[:, None]) ** 2, 0.0), 1) / nf
+    params0 = jnp.stack([
+        mu0,
+        jnp.log(jnp.maximum(var0, 1e-8)),
+        jnp.full_like(mu0, 2.0 * jnp.log(init_time_scale)),
+        jnp.full_like(mu0, 2.0 * jnp.log(init_wave_scale)),
+    ], axis=1)
+
+    grad_fn = jax.vmap(jax.value_and_grad(_nll), in_axes=(0, 0, 0, 0, 0, 0))
+
+    def adam_step(carry, _):
+        params, m, v, i = carry
+        nll, g = grad_fn(params, t, lam, y, yerr, mask)
+        g = jnp.where(jnp.isfinite(g), g, 0.0)
+        m = 0.9 * m + 0.1 * g
+        v = 0.999 * v + 0.001 * g * g
+        mh = m / (1.0 - 0.9 ** (i + 1))
+        vh = v / (1.0 - 0.999 ** (i + 1))
+        params = params - lr * mh / (jnp.sqrt(vh) + 1e-8)
+        return (params, m, v, i + 1), nll
+
+    (params, _, _, _), nlls = jax.lax.scan(
+        adam_step, (params0, jnp.zeros_like(params0), jnp.zeros_like(params0),
+                    jnp.asarray(0)), None, length=n_steps)
+
+    final_nll = jax.vmap(_nll)(params, t, lam, y, yerr, mask)
+    # keep the better of (final, init) per lane — Adam can overshoot
+    init_nll = nlls[0]
+    use_init = init_nll < final_nll
+    params = jnp.where(use_init[:, None], params0, params)
+    final_nll = jnp.minimum(final_nll, init_nll)
+
+    valid = jnp.isfinite(final_nll) & jnp.all(jnp.isfinite(params), axis=1)
+    return GPFit(params=params, log_likelihood=-final_nll, valid=valid)
+
+
+def gp_predict(
+    params: jnp.ndarray,  # [N, 4]
+    t: jnp.ndarray, lam: jnp.ndarray, y: jnp.ndarray, yerr: jnp.ndarray,
+    mask: jnp.ndarray,
+    t_star: jnp.ndarray,  # [N, S] prediction times
+    lam_star: jnp.ndarray,  # [N, S] prediction wavelengths
+) -> jnp.ndarray:
+    """Posterior mean at (t_star, lam_star): [N, S]."""
+
+    def one(params, t, lam, y, yerr, mask, ts, ls):
+        mean, log_amp, log_lt2, log_lw2 = params
+        K = _kernel_matrix(t, lam, mask, log_amp, log_lt2, log_lw2)
+        K = K + jnp.diag(jnp.where(mask, yerr ** 2 + _JITTER, 1.0))
+        L = jnp.linalg.cholesky(K)
+        r = jnp.where(mask, y - mean, 0.0)
+        alpha = jax.scipy.linalg.cho_solve((L, True), r)
+        dt2 = (ts[:, None] - t[None, :]) ** 2
+        dl2 = (ls[:, None] - lam[None, :]) ** 2
+        rr = jnp.sqrt(dt2 / jnp.exp(log_lt2) + dl2 / jnp.exp(log_lw2) + 1e-30)
+        ks = jnp.exp(log_amp) * (1.0 + _SQRT3 * rr) * jnp.exp(-_SQRT3 * rr)
+        ks = jnp.where(mask[None, :], ks, 0.0)
+        return ks @ alpha + mean
+
+    return jax.vmap(one)(params, t, lam, y, yerr, mask, t_star, lam_star)

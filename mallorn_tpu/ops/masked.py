@@ -175,29 +175,31 @@ def interp_at(times, values, mask, target_time, max_gap: float = 50.0):
     n = count(mask)
     t = jnp.where(mask, times, _BIG)
     tt = jnp.asarray(target_time)[..., None]  # [..., 1] vs t [..., T]
-    # index of first time >= target (np.searchsorted 'left')
+    # index of first valid time >= target (np.searchsorted 'left').
+    # The mask may be any CONTIGUOUS run of the time-sorted row (a prefix
+    # or a window); idx-1 then stays inside the run whenever idx is not
+    # its first element.
     ge = (t >= tt) & mask
     idx = jnp.argmax(ge, axis=-1)  # first True; 0 if none
     any_ge = jnp.any(ge, axis=-1)
+    first_valid = jnp.argmax(mask, axis=-1)
 
-    t_first = jnp.take_along_axis(t, jnp.zeros_like(idx)[..., None], axis=-1)[..., 0]
-    last_i = jnp.maximum(n - 1, 0)
-    t_last = jnp.take_along_axis(t, last_i[..., None], axis=-1)[..., 0]
+    t_first = jnp.take_along_axis(t, first_valid[..., None], axis=-1)[..., 0]
+    t_last = mmax(times, mask)
 
     lo = jnp.maximum(idx - 1, 0)
-    hi = jnp.minimum(idx, jnp.maximum(n - 1, 0))
     t1 = jnp.take_along_axis(t, lo[..., None], axis=-1)[..., 0]
-    t2 = jnp.take_along_axis(t, hi[..., None], axis=-1)[..., 0]
+    t2 = jnp.take_along_axis(t, idx[..., None], axis=-1)[..., 0]
     f1 = jnp.take_along_axis(values, lo[..., None], axis=-1)[..., 0]
-    f2 = jnp.take_along_axis(values, hi[..., None], axis=-1)[..., 0]
+    f2 = jnp.take_along_axis(values, idx[..., None], axis=-1)[..., 0]
 
     dt = t2 - t1
     w = jnp.where(dt > 0, (target_time - t1) / jnp.where(dt > 0, dt, 1.0), 0.0)
     interp = f1 + w * (f2 - f1)
 
-    # exact-left-endpoint: searchsorted idx==0 -> fluxes[0]
-    at_start = idx == 0
-    interp = jnp.where(at_start, f1, interp)
+    # exact-left-endpoint: searchsorted lands on the first valid element
+    at_start = idx == first_valid
+    interp = jnp.where(at_start, f2, interp)
 
     invalid = (
         (n < 2)

@@ -1,24 +1,29 @@
 """End-to-end training pipelines, one per reproduced reference config.
 
-Each function mirrors one reference "version" script (SURVEY.md §5.6:
-the versioned-script-per-experiment pattern becomes declarative pipeline
-functions): baseline (statistical features), v34a (Bazin backbone),
-v92d (winner: 222 features + adversarial weights), v104 (seed ensemble),
-v55 (power-law), v42 (pseudo-label).
+Each function mirrors one reference "version" script (SURVEY.md §5.6: the
+versioned-script-per-experiment pattern becomes declarative pipeline
+functions): baseline (statistical features, train_baseline.py), v34a
+(Bazin backbone, train_v34a_bazin.py), v92 a-d (focal/adversarial,
+train_v92_focal_adversarial.py — v92d is the competition winner), v104
+(seed ensemble), v42 (pseudo-label).
 """
 
 from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Dict, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from mallorn_tpu.data.packing import Metadata, PackedLightcurves
-from mallorn_tpu.features import statistical
-from mallorn_tpu.features.base import feature_matrix
-from mallorn_tpu.train.cv import CVResult, train_cv, threshold_sweep
+from mallorn_tpu.features import (bazin, colors, multiband_gp, physics, shape,
+                                  statistical, tde)
+from mallorn_tpu.features.base import FeatureSet, feature_matrix, merge
+from mallorn_tpu.train.adversarial import AdversarialResult, adversarial_validation
+from mallorn_tpu.train.cv import CVResult, threshold_sweep, train_cv
+from mallorn_tpu.train.feature_selection import SelectionResult, select_features
+from mallorn_tpu.trees import objectives
 from mallorn_tpu.trees.gbdt import GBDTParams
 
 # The reference baseline's XGBoost config (reference:
@@ -37,6 +42,13 @@ V34A_PARAMS = GBDTParams(
     min_child_weight=3.0, reg_alpha=0.2, reg_lambda=1.5,
 )
 
+# v92d drops these as train/test-shift-prone
+# (reference: train_v92_focal_adversarial.py:95-96).
+SHIFT_FEATURES = ("all_rise_time", "all_asymmetry")
+
+# v104 seed list (reference: train_v104_seed_ensemble.py:130).
+V104_SEEDS = (42, 123, 456, 789, 1024, 2048, 3141, 4242, 5555, 6789)
+
 
 @dataclasses.dataclass
 class PipelineResult:
@@ -54,6 +66,48 @@ def _finite_or_nan(X: np.ndarray) -> np.ndarray:
     return np.nan_to_num(X, nan=np.nan, posinf=1e10, neginf=-1e10)
 
 
+# ---------------------------------------------------------------------------
+# feature assembly (the cache-layer equivalents)
+# ---------------------------------------------------------------------------
+
+def extract_features_v4(packed: PackedLightcurves, meta: Metadata) -> FeatureSet:
+    """statistical + colors + shape + physics — the ``features_v4_cache``
+    contract (reference: scripts/train_v4_physics.py:104-107, SURVEY.md §2.6)."""
+    return merge(
+        statistical.extract(packed, meta),
+        colors.extract(packed, meta),
+        shape.extract(packed),
+        physics.extract(packed, meta),
+        pandas_suffix=True,
+    )
+
+
+def extract_v34a_bundle(packed: PackedLightcurves, meta: Metadata,
+                        gp_steps: int = 200) -> Dict[str, FeatureSet]:
+    """All four caches feeding v34a/v92d (features_v4, tde, gp2d, bazin)."""
+    return {
+        "features_v4": extract_features_v4(packed, meta),
+        "tde_physics": tde.extract(packed),
+        "multiband_gp": multiband_gp.extract(packed, meta, n_steps=gp_steps),
+        "bazin": bazin.extract(packed),
+    }
+
+
+def assemble_v34a_matrix(bundle: Dict[str, FeatureSet],
+                         selected: Sequence[str]) -> Tuple[np.ndarray, List[str]]:
+    """selected_120 of features_v4 + tde + gp2d + bazin, with pandas-style
+    collision suffixes (reference: train_v34a_bazin.py:84-127)."""
+    base = {k: bundle["features_v4"][k] for k in selected}
+    full = merge(base, bundle["tde_physics"], bundle["multiband_gp"],
+                 bundle["bazin"], pandas_suffix=True)
+    X, names = feature_matrix(full)
+    return _finite_or_nan(X), names
+
+
+# ---------------------------------------------------------------------------
+# pipelines
+# ---------------------------------------------------------------------------
+
 def run_baseline(
     train_packed: PackedLightcurves,
     train_meta: Metadata,
@@ -65,8 +119,8 @@ def run_baseline(
     """Statistical features + GBDT — the train_baseline.py equivalent.
 
     Baseline semantics: NaN/inf -> 0 before training (reference:
-    train_baseline.py:89) and a fixed 0.5 threshold for fold F1s; we keep
-    the OOF threshold sweep for the headline number like later versions.
+    train_baseline.py:89); we keep the OOF threshold sweep for the headline
+    number like later versions.
     """
     timings: Dict[str, float] = {}
     t0 = time.perf_counter()
@@ -93,3 +147,181 @@ def run_baseline(
     return PipelineResult(cv=cv, feature_names=names, oof_f1=cv.best_f1,
                           threshold=cv.best_threshold,
                           test_binary=test_binary, timings=timings)
+
+
+@dataclasses.dataclass
+class V34aResult:
+    cv: CVResult
+    feature_names: List[str]
+    selection: SelectionResult
+    oof_f1: float
+    threshold: float
+    test_preds: Optional[np.ndarray]
+    timings: Dict[str, float]
+
+
+def run_v34a(
+    train_packed: PackedLightcurves,
+    train_meta: Metadata,
+    test_packed: Optional[PackedLightcurves] = None,
+    test_meta: Optional[Metadata] = None,
+    params: GBDTParams = V34A_PARAMS,
+    gp_steps: int = 200,
+    selection_params: Optional[GBDTParams] = None,
+    top_k: int = 120,
+    verbose: bool = False,
+) -> V34aResult:
+    """The v34a Bazin-backbone pipeline: features_v4 -> selected_120 ->
+    + tde + gp2d + bazin -> 5-fold GBDT (reference: train_v34a_bazin.py)."""
+    timings: Dict[str, float] = {}
+    y = train_meta.target
+
+    t0 = time.perf_counter()
+    tr_bundle = extract_v34a_bundle(train_packed, train_meta, gp_steps)
+    te_bundle = (extract_v34a_bundle(test_packed, test_meta, gp_steps)
+                 if test_packed is not None else None)
+    timings["features_s"] = time.perf_counter() - t0
+
+    # selection pass on features_v4 (the reference's models_v5 importance)
+    t0 = time.perf_counter()
+    Xv4, v4_names = feature_matrix(tr_bundle["features_v4"])
+    Xv4 = _finite_or_nan(Xv4)
+    sel_cv = train_cv(Xv4, y, None,
+                      selection_params or V34A_PARAMS._replace(n_rounds=200),
+                      verbose=False)
+    selection = select_features(Xv4, v4_names, sel_cv.importance_gain, top_k)
+    timings["selection_s"] = time.perf_counter() - t0
+
+    X_train, names = assemble_v34a_matrix(tr_bundle, selection.selected)
+    X_test = None
+    if te_bundle is not None:
+        X_test, _ = assemble_v34a_matrix(te_bundle, selection.selected)
+
+    t0 = time.perf_counter()
+    cv = train_cv(X_train, y, X_test, params, verbose=verbose)
+    timings["train_s"] = time.perf_counter() - t0
+
+    return V34aResult(cv=cv, feature_names=names, selection=selection,
+                      oof_f1=cv.best_f1, threshold=cv.best_threshold,
+                      test_preds=cv.test_preds, timings=timings)
+
+
+# v92 variant table (reference: train_v92_focal_adversarial.py:171-197)
+V92_VARIANTS = {
+    "v92a_focal_adv_g1_a85": {"gamma": 1.0, "alpha": 0.85},
+    "v92b_focal_adv_g2_a85": {"gamma": 2.0, "alpha": 0.85},
+    "v92c_focal_adv_g2_a90": {"gamma": 2.0, "alpha": 0.90},
+    "v92d_baseline_adv": {"gamma": 0.0, "alpha": 0.5,
+                          "use_scale_pos_weight": True},
+}
+
+
+@dataclasses.dataclass
+class V92Result:
+    variants: Dict[str, CVResult]
+    adversarial: AdversarialResult
+    feature_names: List[str]
+    best_variant: str
+
+    @property
+    def winner(self) -> CVResult:
+        return self.variants["v92d_baseline_adv"]
+
+
+def run_v92(
+    X_train: np.ndarray,
+    y: np.ndarray,
+    feature_names: Sequence[str],
+    X_test: Optional[np.ndarray] = None,
+    params: GBDTParams = V34A_PARAMS,
+    variants: Optional[Dict] = None,
+    adv: Optional[AdversarialResult] = None,
+    verbose: bool = False,
+) -> V92Result:
+    """The winning pipeline: v34a features minus shift features +
+    adversarial weights; 4 objective variants; v92d is the winner
+    (reference: train_v92_focal_adversarial.py)."""
+    keep = [i for i, n in enumerate(feature_names) if n not in SHIFT_FEATURES]
+    names = [feature_names[i] for i in keep]
+    Xtr = _finite_or_nan(np.asarray(X_train)[:, keep])
+    Xte = _finite_or_nan(np.asarray(X_test)[:, keep]) if X_test is not None else None
+
+    if adv is None:
+        if Xte is None:
+            adv = AdversarialResult(auc=0.5, distribution_shift=False,
+                                    sample_weights=np.ones(len(Xtr)),
+                                    train_adv_preds=np.zeros(len(Xtr)),
+                                    importance_gain=np.zeros(Xtr.shape[1]))
+        else:
+            adv = adversarial_validation(Xtr, Xte)
+
+    results: Dict[str, CVResult] = {}
+    for name, cfg in (variants or V92_VARIANTS).items():
+        gamma = cfg.get("gamma", 0.0)
+        if gamma > 0:
+            obj = objectives.make_focal(gamma=gamma, alpha=cfg["alpha"])
+            cv = train_cv(Xtr, y, Xte, params,
+                          sample_weight=adv.sample_weights,
+                          use_scale_pos_weight=False,
+                          objective=obj, sigmoid_outputs=True,
+                          threshold_grid=np.linspace(0.05, 0.5, 200),
+                          verbose=verbose)
+        else:
+            cv = train_cv(Xtr, y, Xte, params,
+                          sample_weight=adv.sample_weights,
+                          use_scale_pos_weight=cfg.get("use_scale_pos_weight", False),
+                          threshold_grid=np.linspace(0.05, 0.5, 200),
+                          verbose=verbose)
+        results[name] = cv
+        if verbose:
+            print(f"   {name}: OOF F1={cv.best_f1:.4f} @ {cv.best_threshold:.3f}",
+                  flush=True)
+
+    best = max(results, key=lambda k: results[k].best_f1)
+    return V92Result(variants=results, adversarial=adv,
+                     feature_names=names, best_variant=best)
+
+
+def run_seed_ensemble(
+    X_train: np.ndarray, y: np.ndarray, X_test: np.ndarray,
+    params: GBDTParams = V34A_PARAMS,
+    sample_weight: Optional[np.ndarray] = None,
+    seeds: Sequence[int] = V104_SEEDS,
+    verbose: bool = False,
+) -> Tuple[np.ndarray, np.ndarray, Dict[int, float]]:
+    """v104: full 5-fold CV per seed, average OOF/test predictions
+    (reference: train_v104_seed_ensemble.py:129-203)."""
+    oofs, tests, f1s = [], [], {}
+    for seed in seeds:
+        cv = train_cv(X_train, y, X_test,
+                      params._replace(seed=seed),
+                      sample_weight=sample_weight, seed=seed)
+        oofs.append(cv.oof_preds)
+        tests.append(cv.test_preds)
+        f1s[seed] = cv.best_f1
+        if verbose:
+            print(f"   seed {seed}: OOF F1={cv.best_f1:.4f}", flush=True)
+    return np.mean(oofs, axis=0), np.mean(tests, axis=0), f1s
+
+
+def run_pseudo_label(
+    X_train: np.ndarray, y: np.ndarray, X_test: np.ndarray,
+    test_preds: np.ndarray,
+    params: GBDTParams = V34A_PARAMS,
+    confidence: float = 0.99,
+    sample_weight: Optional[np.ndarray] = None,
+    verbose: bool = False,
+) -> CVResult:
+    """v42: add test objects predicted > 0.99 (TDE) or < 0.01 (non-TDE) as
+    pseudo-labels and retrain (reference: train_v42_pseudolabel.py:68-171)."""
+    hi = test_preds > confidence
+    lo = test_preds < 1.0 - confidence
+    X_aug = np.vstack([X_train, X_test[hi], X_test[lo]])
+    y_aug = np.concatenate([y, np.ones(hi.sum()), np.zeros(lo.sum())])
+    w_aug = None
+    if sample_weight is not None:
+        w_aug = np.concatenate([sample_weight,
+                                np.ones(hi.sum() + lo.sum())])
+    if verbose:
+        print(f"   pseudo-labels: +{hi.sum()} TDE, +{lo.sum()} non-TDE", flush=True)
+    return train_cv(X_aug, y_aug, X_test, params, sample_weight=w_aug)

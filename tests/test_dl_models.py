@@ -1,0 +1,50 @@
+"""DL baselines: forward shapes, gradient flow, and that each model can
+overfit a small synthetic set (the capability bar for documented-failure
+baselines)."""
+
+import numpy as np
+import pytest
+
+from mallorn_tpu.data.synthetic import generate_dataset
+from mallorn_tpu.models import (ATAT, LSTMClassifier, SequenceBatch,
+                                TransformerClassifier, make_sequence_batch)
+from mallorn_tpu.models.train_dl import focal_loss, train_model
+
+
+@pytest.fixture(scope="module")
+def seq_batch():
+    packed, meta, _ = generate_dataset(48, seed=5, tde_frac=0.3)
+    return make_sequence_batch(packed, meta)
+
+
+def test_sequence_batch_shapes(seq_batch):
+    b = seq_batch
+    n, t = b.mask.shape
+    assert b.features.shape == (n, t, 3)
+    assert b.band.shape == (n, t)
+    assert b.meta.shape == (n, 2)
+    assert not np.isnan(np.asarray(b.features)).any()
+
+
+@pytest.mark.parametrize("model_cls,kwargs", [
+    (LSTMClassifier, dict(hidden_dim=16, n_layers=1)),
+    (TransformerClassifier, dict(d_model=16, n_layers=1)),
+])
+def test_model_overfits(seq_batch, model_cls, kwargs):
+    model = model_cls(**kwargs)
+    res = train_model(model, seq_batch, val_batch=seq_batch,
+                      n_epochs=150, lr=3e-3)
+    assert np.isfinite(res.losses).all()
+    assert res.losses[-1] < res.losses[0]
+    assert res.val_f1 > 0.8, res.val_f1  # trivially overfits train=val
+
+
+def test_atat_overfits(seq_batch):
+    import jax.numpy as jnp
+
+    tab = jnp.concatenate([seq_batch.meta,
+                           seq_batch.features[:, :, 0].mean(1, keepdims=True)], 1)
+    model = ATAT(embed_dim=16, n_lc_layers=1, n_tab_layers=1)
+    res = train_model(model, seq_batch, val_batch=seq_batch,
+                      tabular=tab, val_tabular=tab, n_epochs=150, lr=3e-3)
+    assert res.val_f1 > 0.8, res.val_f1
