@@ -36,26 +36,39 @@ def cmd_synth(args):
 
 
 FAMILIES = ("features_v4", "tde_physics", "multiband_gp", "bazin",
-            "research", "powerlaw")
+            "research", "powerlaw", "tde_models", "time_to_decline",
+            "fourier", "enhanced_colors", "high_snr", "cesium", "gp1d")
 
 
 def _extract_family(family, packed, meta, gp_steps):
-    from mallorn_tpu.features import bazin, multiband_gp, powerlaw, research, tde
+    from mallorn_tpu.features import (bazin, cesium, enhanced_colors, fourier,
+                                      gp1d, high_snr, multiband_gp, powerlaw,
+                                      research, tde, tde_models,
+                                      time_to_decline)
+    from mallorn_tpu.features.base import chunked_extract
     from mallorn_tpu.train.pipelines import extract_features_v4
 
     if family == "features_v4":
         return extract_features_v4(packed, meta)
-    if family == "tde_physics":
-        return tde.extract(packed)
     if family == "multiband_gp":
         return multiband_gp.extract(packed, meta, n_steps=gp_steps)
-    if family == "bazin":
-        return bazin.extract(packed)
-    if family == "research":
-        return research.extract(packed, meta)
-    if family == "powerlaw":
-        return powerlaw.extract(packed)
-    raise ValueError(f"unknown family {family}")
+    table = {
+        "tde_physics": (tde.extract, ()),
+        "bazin": (bazin.extract, ()),
+        "research": (research.extract, (meta,)),
+        "powerlaw": (powerlaw.extract, ()),
+        "tde_models": (tde_models.extract, ()),
+        "time_to_decline": (time_to_decline.extract, ()),
+        "fourier": (fourier.extract, ()),
+        "enhanced_colors": (enhanced_colors.extract, ()),
+        "high_snr": (high_snr.extract, ()),
+        "cesium": (cesium.extract, ()),
+        "gp1d": (gp1d.extract, ()),
+    }
+    if family not in table:
+        raise ValueError(f"unknown family {family}")
+    fn, args = table[family]
+    return chunked_extract(fn, packed, *args)
 
 
 def cmd_extract(args):

@@ -69,6 +69,63 @@ def feature_matrix(features: FeatureSet, names: Optional[Sequence[str]] = None
     return np.stack(cols, axis=1), list(names)
 
 
+def chunked_extract(extract_fn, packed: PackedLightcurves, *args,
+                    chunk_size: int = 2048, **kwargs) -> FeatureSet:
+    """Run a feature extractor in fixed-size object chunks.
+
+    Bounds peak HBM (several kernels materialize [chunk, T, T] pairwise
+    buffers) and reuses one compiled shape for every full chunk. The final
+    partial chunk is padded up to chunk_size and trimmed after. Per-object
+    array args (e.g. redshift) are sliced alongside.
+    """
+    import numpy as np
+
+    from mallorn_tpu.data.packing import Metadata, pad_objects
+
+    n = packed.n_objects
+    if n <= chunk_size:
+        return extract_fn(packed, *args, **kwargs)
+
+    def slice_arg(a, s, e, pad):
+        if isinstance(a, Metadata):
+            def _f(x):
+                if x is None:
+                    return None
+                x = x[s:e]
+                if pad:
+                    x = np.concatenate([np.asarray(x),
+                                        np.zeros((pad,) + np.asarray(x).shape[1:],
+                                                 np.asarray(x).dtype)])
+                return x
+            return Metadata(object_ids=_f(a.object_ids), z=_f(a.z),
+                            ebv=_f(a.ebv), target=_f(a.target),
+                            spec_type=_f(a.spec_type))
+        if a is not None and hasattr(a, "__len__") and len(a) == n:
+            x = a[s:e]
+            if pad:
+                x = np.concatenate([np.asarray(x),
+                                    np.zeros((pad,) + np.asarray(x).shape[1:],
+                                             np.asarray(x).dtype)])
+            return x
+        return a
+
+    outs = []
+    for s in range(0, n, chunk_size):
+        e = min(s + chunk_size, n)
+        pad = chunk_size - (e - s) if e - s < chunk_size else 0
+        sub = PackedLightcurves(
+            *[x[s:e] if hasattr(x, "ndim") and x.ndim >= 1 else x
+              for x in packed[:-1]], time_offset=packed.time_offset)
+        if pad:
+            sub = pad_objects(sub, chunk_size)
+        sub_args = [slice_arg(a, s, e, pad) for a in args]
+        out = extract_fn(sub, *sub_args, **kwargs)
+        if pad:
+            out = {k: v[: e - s] for k, v in out.items()}
+        outs.append(out)
+    return {k: jnp.concatenate([o[k] for o in outs]) for k in outs[0]}
+
+
 def feature_matrix_jnp(features: FeatureSet, names: Sequence[str]) -> jnp.ndarray:
     """Traceable [N, F] matrix build (for fully-jitted forward paths)."""
     return jnp.stack([features[n].astype(jnp.float32) for n in names], axis=1)

@@ -70,26 +70,36 @@ def _finite_or_nan(X: np.ndarray) -> np.ndarray:
 # feature assembly (the cache-layer equivalents)
 # ---------------------------------------------------------------------------
 
-def extract_features_v4(packed: PackedLightcurves, meta: Metadata) -> FeatureSet:
+def extract_features_v4(packed: PackedLightcurves, meta: Metadata,
+                        chunk_size: int = 2048) -> FeatureSet:
     """statistical + colors + shape + physics — the ``features_v4_cache``
-    contract (reference: scripts/train_v4_physics.py:104-107, SURVEY.md §2.6)."""
+    contract (reference: scripts/train_v4_physics.py:104-107, SURVEY.md §2.6).
+
+    Extraction runs in fixed object chunks: several kernels build
+    [chunk, T, T] pairwise buffers, so chunking bounds peak HBM."""
+    from mallorn_tpu.features.base import chunked_extract
+
     return merge(
-        statistical.extract(packed, meta),
-        colors.extract(packed, meta),
-        shape.extract(packed),
-        physics.extract(packed, meta),
+        chunked_extract(statistical.extract, packed, meta, chunk_size=chunk_size),
+        chunked_extract(colors.extract, packed, meta, chunk_size=chunk_size),
+        chunked_extract(shape.extract, packed, chunk_size=chunk_size),
+        chunked_extract(physics.extract, packed, meta, chunk_size=chunk_size),
         pandas_suffix=True,
     )
 
 
 def extract_v34a_bundle(packed: PackedLightcurves, meta: Metadata,
-                        gp_steps: int = 200) -> Dict[str, FeatureSet]:
+                        gp_steps: int = 200,
+                        chunk_size: int = 2048) -> Dict[str, FeatureSet]:
     """All four caches feeding v34a/v92d (features_v4, tde, gp2d, bazin)."""
+    from mallorn_tpu.features.base import chunked_extract
+
     return {
-        "features_v4": extract_features_v4(packed, meta),
-        "tde_physics": tde.extract(packed),
-        "multiband_gp": multiband_gp.extract(packed, meta, n_steps=gp_steps),
-        "bazin": bazin.extract(packed),
+        "features_v4": extract_features_v4(packed, meta, chunk_size),
+        "tde_physics": chunked_extract(tde.extract, packed, chunk_size=chunk_size),
+        "multiband_gp": multiband_gp.extract(packed, meta, n_steps=gp_steps,
+                                             chunk_size=chunk_size),
+        "bazin": chunked_extract(bazin.extract, packed, chunk_size=chunk_size),
     }
 
 

@@ -9,7 +9,8 @@ from tests.conftest import requires_reference
 # f32-ill-conditioned features get looser relative tolerance (all are
 # quotients of small differences; GBDT bins cannot resolve the gap).
 _LOOSE = {
-    "max_slope": 1e-2, "curvature": 2e-2, "slope": 5e-3, "trend": 5e-3,
+    "max_slope": 1e-2, "maximum_slope": 1e-2, "curvature": 2e-2,
+    "slope": 5e-3, "trend": 5e-3,
     "consistency": 5e-3, "stability": 5e-3, "alpha": 5e-3, "residual": 5e-3,
     "rebrightening": 5e-3, "sf_": 5e-3, "stetson": 5e-3, "excess_variance": 5e-3,
     "color_var": 5e-3, "color_range": 5e-3, "rise_shape": 5e-3,
