@@ -83,16 +83,76 @@ def pack_split(
     return packed, meta
 
 
-def load_all_data(data_path: Path) -> Dict[str, object]:
-    """Load + pack both splits (mirrors reference load_all_data, :65-88)."""
+def pack_split_native(data_path: Path, log: pd.DataFrame, split: str
+                      ) -> Optional[Tuple[PackedLightcurves, Metadata]]:
+    """Native-parser fast path: per-shard C++ CSV parse -> remap each
+    shard's local object table onto the metadata row order -> one global
+    pack. Returns None when the native library is unavailable."""
+    from mallorn_tpu.io import native
+
+    if not native.available():
+        return None
+
+    object_ids = log["object_id"].to_numpy()
+    id_to_row = {str(oid): i for i, oid in enumerate(object_ids)}
+
+    cols = {k: [] for k in ("object_index", "time", "flux", "flux_err", "band")}
+    found = False
+    filename = f"{split}_full_lightcurves.csv"
+    for i in range(1, MAX_SPLIT_DIRS + 1):
+        p = Path(data_path) / f"split_{i:02d}" / filename
+        if not p.exists():
+            continue
+        d = native.parse_lightcurves(p)
+        if d is None:
+            return None
+        found = True
+        # local id table -> metadata rows (-1 = unknown object, dropped)
+        remap = np.array([id_to_row.get(oid, -1) for oid in d["object_ids"]],
+                         dtype=np.int64)
+        gidx = remap[d["object_index"]]
+        keep = gidx >= 0
+        cols["object_index"].append(gidx[keep])
+        for k in ("time", "flux", "flux_err", "band"):
+            cols[k].append(d[k][keep])
+    if not found:
+        raise FileNotFoundError(f"No {split} lightcurve files found under {data_path}")
+
+    flat = {k: np.concatenate(v) for k, v in cols.items()}
+    packed = pack_lightcurves(flat["object_index"], flat["time"], flat["flux"],
+                              flat["flux_err"], flat["band"],
+                              n_objects=len(object_ids))
+    meta = Metadata(
+        object_ids=object_ids,
+        z=log["Z"].to_numpy(dtype=np.float32) if "Z" in log else np.zeros(len(object_ids), np.float32),
+        ebv=log["EBV"].to_numpy(dtype=np.float32) if "EBV" in log else np.zeros(len(object_ids), np.float32),
+        target=log["target"].to_numpy(dtype=np.int32) if "target" in log else None,
+        spec_type=log["SpecType"].to_numpy() if "SpecType" in log else None,
+    )
+    return packed, meta
+
+
+def load_all_data(data_path: Path, use_native: bool = True) -> Dict[str, object]:
+    """Load + pack both splits (mirrors reference load_all_data, :65-88).
+
+    Prefers the C++ CSV fast path; falls back to pandas transparently."""
     out: Dict[str, object] = {}
     for split in ("train", "test"):
         try:
             log = load_metadata(data_path, split)
-            lc = load_lightcurves(data_path, split)
         except FileNotFoundError:
             continue
-        packed, meta = pack_split(lc, log)
+        try:
+            result = pack_split_native(data_path, log, split) if use_native else None
+        except FileNotFoundError:
+            continue
+        if result is None:
+            try:
+                lc = load_lightcurves(data_path, split)
+            except FileNotFoundError:
+                continue
+            result = pack_split(lc, log)
+        packed, meta = result
         out[f"{split}_packed"] = packed
         out[f"{split}_meta"] = meta
     if not out:
