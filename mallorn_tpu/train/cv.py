@@ -87,7 +87,12 @@ def train_cv(
     fold_f1s: List[float] = []
     models: List[GBDTModel] = []
 
-    for fold, (tr, va) in enumerate(skf.split(X_train, y)):
+    # pad every fold to a shared shape -> one compiled training graph
+    splits = list(skf.split(X_train, y))
+    pad_train = max(len(tr) for tr, _ in splits)
+    pad_val = max(len(va) for _, va in splits)
+
+    for fold, (tr, va) in enumerate(splits):
         spw = float((y[tr] == 0).sum() / max((y[tr] == 1).sum(), 1)) \
             if use_scale_pos_weight else 1.0
         w = sample_weight[tr] if sample_weight is not None else None
@@ -98,6 +103,7 @@ def train_cv(
             objective=objective,
             X_val=X_train[va], y_val=y[va],
             early_stopping_rounds=early_stopping_rounds,
+            pad_rows_to=pad_train, pad_val_rows_to=pad_val,
         )
         models.append(model)
 

@@ -248,29 +248,50 @@ def train_gbdt(
     early_stopping_rounds: Optional[int] = None,
     bin_spec: Optional[BinSpec] = None,
     axis_name: Optional[str] = None,
+    pad_rows_to: Optional[int] = None,
+    pad_val_rows_to: Optional[int] = None,
 ) -> GBDTModel:
     """Fit a boosted-tree model. Host-facing wrapper around a fully-jitted
-    scan; mirrors ``xgb.train`` with the reference's parameter surface."""
+    scan; mirrors ``xgb.train`` with the reference's parameter surface.
+
+    ``pad_rows_to`` / ``pad_val_rows_to`` pad the row axes with zero-weight
+    (resp. metric-masked) rows so different CV folds share one compiled
+    shape."""
     if objective is None:
         objective = objectives.logistic
     if bin_spec is None:
         bin_spec = fit_bins(np.asarray(X_train), params.n_bins)
 
+    n_real = len(X_train)
     binned = apply_bins(bin_spec, jnp.asarray(X_train, jnp.float32))
     y = jnp.asarray(y_train, jnp.float32)
     w = jnp.ones_like(y) if sample_weight is None else jnp.asarray(sample_weight, jnp.float32)
     w = w * jnp.where(y > 0.5, scale_pos_weight, 1.0)
+    if pad_rows_to is not None and pad_rows_to > n_real:
+        extra = pad_rows_to - n_real
+        binned = jnp.concatenate([binned, jnp.zeros((extra, binned.shape[1]), binned.dtype)])
+        y = jnp.concatenate([y, jnp.zeros(extra, y.dtype)])
+        w = jnp.concatenate([w, jnp.zeros(extra, w.dtype)])  # zero weight -> inert
 
     has_val = X_val is not None
     if has_val:
+        n_val = len(X_val)
         binned_val = apply_bins(bin_spec, jnp.asarray(X_val, jnp.float32))
         yv = jnp.asarray(y_val, jnp.float32)
+        vmask = jnp.ones(n_val, bool)
+        if pad_val_rows_to is not None and pad_val_rows_to > n_val:
+            extra = pad_val_rows_to - n_val
+            binned_val = jnp.concatenate(
+                [binned_val, jnp.zeros((extra, binned_val.shape[1]), binned_val.dtype)])
+            yv = jnp.concatenate([yv, jnp.zeros(extra, yv.dtype)])
+            vmask = jnp.concatenate([vmask, jnp.zeros(extra, bool)])
     else:
         binned_val = binned[:1]
         yv = y[:1]
+        vmask = jnp.ones(1, bool)
 
     forest, imp, hist = _fit_jit(
-        binned, y, w, binned_val, yv, params, objective, has_val, axis_name)
+        binned, y, w, binned_val, yv, vmask, params, objective, has_val, axis_name)
 
     best_it = -1
     if has_val:
@@ -293,8 +314,8 @@ def train_gbdt(
                      best_iteration=best_it)
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
-def _fit_jit(binned, y, w, binned_val, yv, params: GBDTParams,
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
+def _fit_jit(binned, y, w, binned_val, yv, vmask, params: GBDTParams,
              objective, has_val: bool, axis_name):
     n, n_f = binned.shape
     depth = params.max_depth
@@ -334,8 +355,9 @@ def _fit_jit(binned, y, w, binned_val, yv, params: GBDTParams,
             eps = 1e-16
             ll = -(yv * jnp.log(jnp.clip(p, eps, 1.0))
                    + (1 - yv) * jnp.log(jnp.clip(1 - p, eps, 1.0)))
+            ll = jnp.where(vmask, ll, 0.0)
             num = _psum(jnp.sum(ll), axis_name)
-            den = _psum(jnp.asarray(ll.size, jnp.float32), axis_name)
+            den = _psum(jnp.sum(vmask.astype(jnp.float32)), axis_name)
             metric = num / den
         else:
             metric = jnp.nan
