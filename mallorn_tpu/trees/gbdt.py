@@ -49,6 +49,9 @@ class GBDTParams(NamedTuple):
     n_bins: int = 256
     min_split_gain: float = 1e-6
     seed: int = 42
+    # route histogram building through the Pallas MXU kernel
+    # (ops/hist_pallas.py) instead of vmapped segment_sum
+    use_pallas_hist: bool = False
 
 
 class Forest(NamedTuple):
@@ -90,7 +93,7 @@ def _psum(x, axis_name):
 
 
 def _build_level_hist(binned_T, grad, hess, local_node, in_level, n_nodes, n_bins_tot,
-                      axis_name):
+                      axis_name, use_pallas=False):
     """Histograms [F, n_nodes, n_bins_tot, 2] of (grad, hess) sums.
 
     binned_T: [F, N] bin ids; local_node: [N] node index within the level;
@@ -101,11 +104,17 @@ def _build_level_hist(binned_T, grad, hess, local_node, in_level, n_nodes, n_bin
 
     data = jnp.stack([grad, hess], axis=-1)  # [N, 2]
 
-    def per_feature(bins_f):
-        seg = jnp.where(in_level, seg_base + bins_f, n_seg)
-        return jax.ops.segment_sum(data, seg, num_segments=n_seg + 1)[:-1]
+    if use_pallas:
+        from mallorn_tpu.ops.hist_pallas import build_histograms_pallas
 
-    hist = jax.vmap(per_feature)(binned_T)  # [F, n_seg, 2]
+        seg_all = jnp.where(in_level[None, :], seg_base[None, :] + binned_T, n_seg)
+        hist = build_histograms_pallas(seg_all.astype(jnp.int32), data, n_seg)
+    else:
+        def per_feature(bins_f):
+            seg = jnp.where(in_level, seg_base + bins_f, n_seg)
+            return jax.ops.segment_sum(data, seg, num_segments=n_seg + 1)[:-1]
+
+        hist = jax.vmap(per_feature)(binned_T)  # [F, n_seg, 2]
     hist = hist.reshape(binned_T.shape[0], n_nodes, n_bins_tot, 2)
     return _psum(hist, axis_name)
 
@@ -135,7 +144,8 @@ def _train_tree(binned_T, binned, grad, hess, col_mask, p: GBDTParams, axis_name
         in_level = (local >= 0) & (local < n_nodes) & ~is_leaf[jnp.clip(node, 0, n_internal - 1)]
 
         hist = _build_level_hist(binned_T, grad, hess, local, in_level,
-                                 n_nodes, n_bins_tot, axis_name)
+                                 n_nodes, n_bins_tot, axis_name,
+                                 use_pallas=p.use_pallas_hist)
         hg, hh = hist[..., 0], hist[..., 1]  # [F, L, B+1]
         g_tot = jnp.sum(hg, axis=(0, 2)) / n_f  # per node; same for all f
         h_tot = jnp.sum(hh, axis=(0, 2)) / n_f
