@@ -152,6 +152,9 @@ def cmd_train(args):
             result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold,
                       "n_features": len(names)}
             test_preds, threshold = cv.test_preds, cv.best_threshold
+            from mallorn_tpu.io.model_store import save_cv_models
+            save_cv_models(out_dir / "models_v34a", cv.models,
+                           cv.best_threshold, names)
         elif args.config.startswith("v92"):
             out = pipelines.run_v92(Xtr, y, names, Xte, verbose=True)
             key = {"v92": "v92d_baseline_adv", "v92d": "v92d_baseline_adv",
@@ -162,6 +165,9 @@ def cmd_train(args):
                       "adv_auc": out.adversarial.auc,
                       "n_features": len(out.feature_names)}
             test_preds, threshold = cv.test_preds, cv.best_threshold
+            from mallorn_tpu.io.model_store import save_cv_models
+            save_cv_models(out_dir / f"models_{args.config}", cv.models,
+                           cv.best_threshold, out.feature_names)
         elif args.config == "v104":
             out = pipelines.run_v92(Xtr, y, names, Xte,
                                     variants={"v92d_baseline_adv":
@@ -194,6 +200,35 @@ def cmd_train(args):
         _log(f"submission: {sub}")
 
 
+def cmd_predict(args):
+    """Serve predictions from saved fold models on cached features."""
+    from mallorn_tpu.data.loader import load_metadata
+    from mallorn_tpu.io.model_store import load_cv_models
+    from mallorn_tpu.io.submission import write_submission
+    from mallorn_tpu.trees.gbdt import predict_proba
+
+    models, man = load_cv_models(args.model)
+    fams = ["features_v4", "tde_physics", "multiband_gp", "bazin"]
+    X_all, all_names = _load_matrices(args.cache, args.split, fams)
+    name_to_idx = {n: i for i, n in enumerate(all_names)}
+    missing = [n for n in man["feature_names"] if n not in name_to_idx]
+    if missing:
+        raise SystemExit(f"cached features missing columns: {missing[:5]}...")
+    X = X_all[:, [name_to_idx[n] for n in man["feature_names"]]]
+    X = np.nan_to_num(X, nan=np.nan, posinf=1e10, neginf=-1e10)
+
+    probs = np.mean([np.asarray(predict_proba(m, X)) for m in models], axis=0)
+    log = load_metadata(Path(args.data), args.split)
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    np.save(out / f"probs_{args.split}.npy", probs)
+    sub = write_submission(out / f"submission_{args.split}.csv",
+                           log["object_id"].to_numpy(),
+                           (probs > man["threshold"]).astype(int))
+    _log(f"wrote {sub} ({int((probs > man['threshold']).sum())} TDEs "
+         f"@ threshold {man['threshold']:.3f})")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="mallorn",
                                 description="TPU-native MALLORN pipeline")
@@ -221,6 +256,14 @@ def main(argv=None):
                              "v92d", "v104", "v42"])
     pt.add_argument("--out", default="artifacts")
     pt.set_defaults(fn=cmd_train)
+
+    pp = sub.add_parser("predict", help="predict from saved fold models")
+    pp.add_argument("--data", required=True)
+    pp.add_argument("--cache", required=True)
+    pp.add_argument("--model", required=True, help="saved models dir")
+    pp.add_argument("--split", default="test")
+    pp.add_argument("--out", default="artifacts")
+    pp.set_defaults(fn=cmd_predict)
 
     args = p.parse_args(argv)
     args.fn(args)
