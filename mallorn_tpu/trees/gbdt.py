@@ -52,6 +52,11 @@ class GBDTParams(NamedTuple):
     # route histogram building through the Pallas MXU kernel
     # (ops/hist_pallas.py) instead of vmapped segment_sum
     use_pallas_hist: bool = False
+    # DART dropout boosting (LightGBM-DART capability, reference v111):
+    # each round drops existing trees with this probability, fits against
+    # the surviving ensemble, and renormalizes (new: 1/(k+1), dropped:
+    # k/(k+1)). 0 = standard boosting.
+    dart_rate: float = 0.0
 
 
 class Forest(NamedTuple):
@@ -375,11 +380,86 @@ def _fit_jit(binned, y, w, binned_val, yv, vmask, params: GBDTParams,
         return (margin, margin_val), (tree, gains, metric)
 
     keys = jax.random.split(jax.random.PRNGKey(params.seed), params.n_rounds)
+
+    if params.dart_rate > 0.0:
+        return _fit_dart(binned, binned_T, y, w, binned_val, yv, vmask, params,
+                         objective, has_val, axis_name, keys, k_cols, n_f,
+                         depth, missing_id)
+
     init = (jnp.zeros(n, jnp.float32), jnp.zeros(binned_val.shape[0], jnp.float32))
     _, (trees, gains, metrics) = jax.lax.scan(round_step, init, keys)
 
     forest = Forest(feature=trees[0], split_bin=trees[1], default_left=trees[2],
                     is_leaf=trees[3], leaf_value=trees[4])
+    return forest, jnp.sum(gains, axis=0), metrics
+
+
+def _fit_dart(binned, binned_T, y, w, binned_val, yv, vmask, params, objective,
+              has_val, axis_name, keys, k_cols, n_f, depth, missing_id):
+    """DART boosting: per-tree contribution matrices + a running scale
+    vector; margins are scale-weighted sums over trees."""
+    R = params.n_rounds
+    n = binned.shape[0]
+    nv = binned_val.shape[0]
+
+    def round_step(carry, inp):
+        c_train, c_val, scale, r = carry
+        rkey = inp
+        k_drop, k_sub, k_col = jax.random.split(rkey, 3)
+
+        prev = jnp.arange(R) < r
+        drop = prev & (jax.random.uniform(k_drop, (R,)) < params.dart_rate)
+        k = jnp.sum(drop).astype(jnp.float32)
+        keep_scale = jnp.where(drop, 0.0, scale)
+        margin = keep_scale @ c_train
+
+        grad, hess = objective(margin, y, w)
+        if params.subsample < 1.0:
+            if axis_name:
+                k_sub = jax.random.fold_in(k_sub, jax.lax.axis_index(axis_name))
+            m = jax.random.uniform(k_sub, (n,)) < params.subsample
+            grad = jnp.where(m, grad, 0.0)
+            hess = jnp.where(m, hess, 0.0)
+        if params.colsample_bytree < 1.0:
+            perm = jax.random.permutation(k_col, n_f)
+            col_mask = jnp.zeros(n_f, bool).at[perm[:k_cols]].set(True)
+        else:
+            col_mask = jnp.ones(n_f, bool)
+
+        tree, gains, node_assign = _train_tree(
+            binned_T, binned, grad, hess, col_mask, params, axis_name)
+        leaf_value = tree[4]
+
+        # DART normalization
+        scale = jnp.where(drop, scale * k / (k + 1.0), scale)
+        scale = scale.at[r].set(1.0 / (k + 1.0))
+        c_train = c_train.at[r].set(leaf_value[node_assign])
+        if has_val:
+            c_val = c_val.at[r].set(_predict_tree(tree, binned_val, missing_id,
+                                                  depth + 1))
+            full_val = scale @ c_val
+            p = jax.nn.sigmoid(full_val)
+            eps = 1e-16
+            ll = -(yv * jnp.log(jnp.clip(p, eps, 1.0))
+                   + (1 - yv) * jnp.log(jnp.clip(1 - p, eps, 1.0)))
+            ll = jnp.where(vmask, ll, 0.0)
+            metric = _psum(jnp.sum(ll), axis_name) / _psum(
+                jnp.sum(vmask.astype(jnp.float32)), axis_name)
+        else:
+            metric = jnp.nan
+
+        return (c_train, c_val, scale, r + 1), (tree, gains, metric)
+
+    init = (jnp.zeros((R, n), jnp.float32), jnp.zeros((R, nv), jnp.float32),
+            jnp.zeros(R, jnp.float32), jnp.asarray(0))
+    (_, _, scale, _), (trees, gains, metrics) = jax.lax.scan(
+        round_step, init, keys)
+
+    # fold the final scales into the stored leaf values so prediction is
+    # a plain scaled-forest sum
+    forest = Forest(feature=trees[0], split_bin=trees[1], default_left=trees[2],
+                    is_leaf=trees[3],
+                    leaf_value=trees[4] * scale[:, None])
     return forest, jnp.sum(gains, axis=0), metrics
 
 

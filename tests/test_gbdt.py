@@ -106,3 +106,14 @@ def test_importance_finds_signal_features():
     imp = np.asarray(model.importance_gain)
     # features 0 and 1 carry the linear signal
     assert set(np.argsort(imp)[-3:]) & {0, 1}
+
+
+def test_dart_mode():
+    X, y = _make_data(500, 8, seed=9)
+    m = train_gbdt(X[:400], y[:400],
+                   GBDTParams(n_rounds=60, max_depth=4, learning_rate=0.2,
+                              dart_rate=0.15),
+                   X_val=X[400:], y_val=y[400:], early_stopping_rounds=30)
+    p = np.asarray(predict_proba(m, X[400:]))
+    assert ((p > 0.5) == y[400:]).mean() > 0.75
+    assert np.isfinite(np.asarray(m.eval_history)).all()
