@@ -99,8 +99,8 @@ def main():
 
     Xv4, v4_names = feature_matrix(tr_bundle["features_v4"])
     Xv4 = pipelines._finite_or_nan(Xv4)
-    sel_cv = train_cv(Xv4, tr_meta.target, None,
-                      pipelines.V34A_PARAMS._replace(n_rounds=200))
+    sel_cv = train_cv(Xv4, tr_meta.target, None, pipelines.V34A_PARAMS,
+                      pad_features_to=pipelines.PAD_FEATURES)
     selection = select_features(Xv4, v4_names, sel_cv.importance_gain, 120)
     X_tr, names = pipelines.assemble_v34a_matrix(tr_bundle, selection.selected)
     X_te, _ = pipelines.assemble_v34a_matrix(te_bundle, selection.selected)

@@ -29,32 +29,38 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _hist_kernel(seg_ref, gh_ref, out_ref, *, n_seg: int, rows: int):
-    """One (feature, row-chunk) program.
+F_BLOCK = 8  # feature block (TPU sublane constraint on the block spec)
 
-    seg_ref: [1, R] int32 segment ids for this feature's rows
+
+def _hist_kernel(seg_ref, gh_ref, out_ref, *, n_seg: int, rows: int):
+    """One (feature-block, row-chunk) program.
+
+    seg_ref: [F_BLOCK, R] int32 segment ids
              (node * n_bins_tot + bin; >= n_seg means 'inactive row')
     gh_ref:  [R, 2] f32 (grad, hess)
-    out_ref: [1, n_seg, 2] f32 accumulated histogram for this feature
+    out_ref: [F_BLOCK, n_seg, 2] f32 accumulated histograms
     """
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
-        out_ref[0, :, :] = jnp.zeros_like(out_ref)[0]
+        out_ref[:, :, :] = jnp.zeros_like(out_ref)
 
-    seg = seg_ref[0, :]  # [R]
     seg_ids = jax.lax.broadcasted_iota(jnp.int32, (n_seg, rows), 0)
-    onehot = (seg[None, :] == seg_ids).astype(jnp.float32)  # [S, R]
-    out_ref[0, :, :] += jnp.dot(onehot, gh_ref[:, :],
-                                preferred_element_type=jnp.float32)
+    gh = gh_ref[:, :].astype(jnp.bfloat16)
+    for k in range(F_BLOCK):  # one [S, R] onehot in VMEM at a time
+        seg = seg_ref[k, :]
+        # bf16 indicator: exact (values are 0/1) and doubles MXU throughput
+        onehot = (seg[None, :] == seg_ids).astype(jnp.bfloat16)  # [S, R]
+        out_ref[k, :, :] += jnp.dot(onehot, gh,
+                                    preferred_element_type=jnp.float32)
 
 
 def build_histograms_pallas(
     seg: jnp.ndarray,  # [F, N] int32 per-feature segment ids
     gh: jnp.ndarray,  # [N, 2] f32 (grad, hess)
     n_seg: int,
-    row_chunk: int = 512,
+    row_chunk: int = 128,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Returns [F, n_seg, 2] f32 histograms."""
@@ -62,6 +68,7 @@ def build_histograms_pallas(
         interpret = jax.default_backend() != "tpu"
 
     f, n = seg.shape
+    f_pad = _round_up(f, F_BLOCK)
     n_pad = _round_up(n, row_chunk)
     s_pad = _round_up(n_seg, 8)
     if n_pad != n:
@@ -69,23 +76,28 @@ def build_histograms_pallas(
         seg = jnp.concatenate(
             [seg, jnp.full((f, n_pad - n), s_pad, jnp.int32)], axis=1)
         gh = jnp.concatenate([gh, jnp.zeros((n_pad - n, 2), gh.dtype)], axis=0)
+    if f_pad != f:
+        seg = jnp.concatenate(
+            [seg, jnp.full((f_pad - f, n_pad), s_pad, jnp.int32)], axis=0)
     # out-of-range ids (inactive rows) match no iota row
     seg = jnp.where(seg >= n_seg, s_pad, seg)
 
-    grid = (f, n_pad // row_chunk)
+    grid = (f_pad // F_BLOCK, n_pad // row_chunk)
     kernel = functools.partial(_hist_kernel, n_seg=s_pad, rows=row_chunk)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, row_chunk), lambda i, j: (i, j),
+            pl.BlockSpec((F_BLOCK, row_chunk), lambda i, j: (i, j),
                          memory_space=pltpu.ANY if interpret else pltpu.VMEM),
             pl.BlockSpec((row_chunk, 2), lambda i, j: (j, 0),
                          memory_space=pltpu.ANY if interpret else pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, s_pad, 2), lambda i, j: (i, 0, 0),
+        out_specs=pl.BlockSpec((F_BLOCK, s_pad, 2), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.ANY if interpret else pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((f, s_pad, 2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((f_pad, s_pad, 2), jnp.float32),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(seg, gh)
-    return out[:, :n_seg, :]
+    return out[:f, :n_seg, :]

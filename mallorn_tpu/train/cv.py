@@ -70,6 +70,7 @@ def train_cv(
     early_stopping_rounds: int = 50,
     seed: int = 42,
     threshold_grid: Optional[np.ndarray] = None,
+    pad_features_to: Optional[int] = None,
     verbose: bool = False,
 ) -> CVResult:
     """Stratified K-fold GBDT training with OOF + averaged test predictions.
@@ -104,6 +105,7 @@ def train_cv(
             X_val=X_train[va], y_val=y[va],
             early_stopping_rounds=early_stopping_rounds,
             pad_rows_to=pad_train, pad_val_rows_to=pad_val,
+            pad_features_to=pad_features_to,
         )
         models.append(model)
 

@@ -49,6 +49,11 @@ SHIFT_FEATURES = ("all_rise_time", "all_asymmetry")
 # v104 seed list (reference: train_v104_seed_ensemble.py:130).
 V104_SEEDS = (42, 123, 456, 789, 1024, 2048, 3141, 4242, 5555, 6789)
 
+# All pipeline GBDT calls pad their feature axis to this width with inert
+# columns so selection (307 cols), v34a (224) and v92d (222) share one
+# compiled boosting graph — compilation dominates wall time on TPU.
+PAD_FEATURES = 384
+
 
 @dataclasses.dataclass
 class PipelineResult:
@@ -192,13 +197,13 @@ def run_v34a(
                  if test_packed is not None else None)
     timings["features_s"] = time.perf_counter() - t0
 
-    # selection pass on features_v4 (the reference's models_v5 importance)
+    # selection pass on features_v4 (the reference's models_v5 importance).
+    # Same params as the main fit -> shares its compiled graph.
     t0 = time.perf_counter()
     Xv4, v4_names = feature_matrix(tr_bundle["features_v4"])
     Xv4 = _finite_or_nan(Xv4)
-    sel_cv = train_cv(Xv4, y, None,
-                      selection_params or V34A_PARAMS._replace(n_rounds=200),
-                      verbose=False)
+    sel_cv = train_cv(Xv4, y, None, selection_params or params,
+                      pad_features_to=PAD_FEATURES, verbose=False)
     selection = select_features(Xv4, v4_names, sel_cv.importance_gain, top_k)
     timings["selection_s"] = time.perf_counter() - t0
 
@@ -208,7 +213,8 @@ def run_v34a(
         X_test, _ = assemble_v34a_matrix(te_bundle, selection.selected)
 
     t0 = time.perf_counter()
-    cv = train_cv(X_train, y, X_test, params, verbose=verbose)
+    cv = train_cv(X_train, y, X_test, params, pad_features_to=PAD_FEATURES,
+                  verbose=verbose)
     timings["train_s"] = time.perf_counter() - t0
 
     return V34aResult(cv=cv, feature_names=names, selection=selection,
@@ -275,12 +281,14 @@ def run_v92(
                           use_scale_pos_weight=False,
                           objective=obj, sigmoid_outputs=True,
                           threshold_grid=np.linspace(0.05, 0.5, 200),
+                          pad_features_to=PAD_FEATURES,
                           verbose=verbose)
         else:
             cv = train_cv(Xtr, y, Xte, params,
                           sample_weight=adv.sample_weights,
                           use_scale_pos_weight=cfg.get("use_scale_pos_weight", False),
                           threshold_grid=np.linspace(0.05, 0.5, 200),
+                          pad_features_to=PAD_FEATURES,
                           verbose=verbose)
         results[name] = cv
         if verbose:
@@ -305,7 +313,8 @@ def run_seed_ensemble(
     for seed in seeds:
         cv = train_cv(X_train, y, X_test,
                       params._replace(seed=seed),
-                      sample_weight=sample_weight, seed=seed)
+                      sample_weight=sample_weight, seed=seed,
+                      pad_features_to=PAD_FEATURES)
         oofs.append(cv.oof_preds)
         tests.append(cv.test_preds)
         f1s[seed] = cv.best_f1

@@ -49,9 +49,10 @@ class GBDTParams(NamedTuple):
     n_bins: int = 256
     min_split_gain: float = 1e-6
     seed: int = 42
-    # route histogram building through the Pallas MXU kernel
-    # (ops/hist_pallas.py) instead of vmapped segment_sum
-    use_pallas_hist: bool = False
+    # histogram builder: None = auto (Pallas MXU kernel on TPU, where
+    # XLA lowers the segment_sum scatter-adds to a serialized loop;
+    # segment_sum elsewhere). True/False forces a path.
+    use_pallas_hist: Optional[bool] = None
     # DART dropout boosting (LightGBM-DART capability, reference v111):
     # each round drops existing trees with this probability, fits against
     # the surviving ensemble, and renormalizes (new: 1/(k+1), dropped:
@@ -109,6 +110,8 @@ def _build_level_hist(binned_T, grad, hess, local_node, in_level, n_nodes, n_bin
 
     data = jnp.stack([grad, hess], axis=-1)  # [N, 2]
 
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         from mallorn_tpu.ops.hist_pallas import build_histograms_pallas
 
@@ -265,6 +268,7 @@ def train_gbdt(
     axis_name: Optional[str] = None,
     pad_rows_to: Optional[int] = None,
     pad_val_rows_to: Optional[int] = None,
+    pad_features_to: Optional[int] = None,
 ) -> GBDTModel:
     """Fit a boosted-tree model. Host-facing wrapper around a fully-jitted
     scan; mirrors ``xgb.train`` with the reference's parameter surface.
@@ -274,6 +278,21 @@ def train_gbdt(
     shape."""
     if objective is None:
         objective = objectives.logistic
+
+    # pad the feature axis with all-NaN (inert) columns so configs with
+    # different feature counts share one compiled boosting graph; inert
+    # columns can never split (their value bins are empty).
+    n_feat_real = X_train.shape[1]
+    if pad_features_to is not None and pad_features_to > n_feat_real:
+        def _padf(M):
+            extra = pad_features_to - M.shape[1]
+            return np.concatenate(
+                [np.asarray(M, np.float32),
+                 np.full((len(M), extra), np.nan, np.float32)], axis=1)
+        X_train = _padf(X_train)
+        if X_val is not None:
+            X_val = _padf(X_val)
+
     if bin_spec is None:
         bin_spec = fit_bins(np.asarray(X_train), params.n_bins)
 
@@ -305,8 +324,14 @@ def train_gbdt(
         yv = y[:1]
         vmask = jnp.ones(1, bool)
 
+    # PRNG keys are a traced argument: changing the seed (e.g. the v104
+    # seed ensemble) must NOT trigger a recompile of the boosting scan.
+    keys = jax.random.split(jax.random.PRNGKey(params.seed), params.n_rounds)
+    # normalize the seed inside the static config so seed changes hit the
+    # same compiled executable
     forest, imp, hist = _fit_jit(
-        binned, y, w, binned_val, yv, vmask, params, objective, has_val, axis_name)
+        binned, y, w, binned_val, yv, vmask, keys, params._replace(seed=0),
+        objective, has_val, axis_name)
 
     best_it = -1
     if has_val:
@@ -325,12 +350,12 @@ def train_gbdt(
             best_it = int(np.argmin(h))
 
     return GBDTModel(forest=forest, bin_spec=bin_spec, params=params,
-                     importance_gain=imp, eval_history=hist,
+                     importance_gain=imp[:n_feat_real], eval_history=hist,
                      best_iteration=best_it)
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
-def _fit_jit(binned, y, w, binned_val, yv, vmask, params: GBDTParams,
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10))
+def _fit_jit(binned, y, w, binned_val, yv, vmask, keys, params: GBDTParams,
              objective, has_val: bool, axis_name):
     n, n_f = binned.shape
     depth = params.max_depth
@@ -378,8 +403,6 @@ def _fit_jit(binned, y, w, binned_val, yv, vmask, params: GBDTParams,
             metric = jnp.nan
 
         return (margin, margin_val), (tree, gains, metric)
-
-    keys = jax.random.split(jax.random.PRNGKey(params.seed), params.n_rounds)
 
     if params.dart_rate > 0.0:
         return _fit_dart(binned, binned_T, y, w, binned_val, yv, vmask, params,
@@ -484,6 +507,12 @@ def predict_margin(model: GBDTModel, X: np.ndarray,
     (xgboost's ``predict`` semantics with early stopping)."""
     if n_trees is None and model.best_iteration >= 0:
         n_trees = model.best_iteration + 1
+    X = np.asarray(X, np.float32)
+    f_model = model.bin_spec.edges.shape[0]
+    if X.shape[1] < f_model:  # model trained with inert feature padding
+        X = np.concatenate(
+            [X, np.full((len(X), f_model - X.shape[1]), np.nan, np.float32)],
+            axis=1)
     binned = apply_bins(model.bin_spec, jnp.asarray(X, jnp.float32))
     cfg = (model.params.n_bins, model.params.max_depth, n_trees)
     return _predict_margin_jit(model.forest, binned, cfg)
