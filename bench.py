@@ -78,6 +78,9 @@ def main():
 
     log(f"devices: {jax.devices()}")
     (tr_packed, tr_meta), (te_packed, te_meta) = get_data()
+    from mallorn_tpu.data.packing import unify_time_padding
+
+    tr_packed, te_packed = unify_time_padding(tr_packed, te_packed)
 
     from mallorn_tpu.train import pipelines
     from mallorn_tpu.train.cv import train_cv

@@ -157,4 +157,10 @@ def load_all_data(data_path: Path, use_native: bool = True) -> Dict[str, object]
         out[f"{split}_meta"] = meta
     if not out:
         raise FileNotFoundError(f"no data found under {data_path}")
+    if "train_packed" in out and "test_packed" in out:
+        # shared time padding -> extraction kernels compile once per config
+        from mallorn_tpu.data.packing import unify_time_padding
+
+        out["train_packed"], out["test_packed"] = unify_time_padding(
+            out["train_packed"], out["test_packed"])
     return out

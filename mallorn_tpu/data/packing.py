@@ -176,6 +176,36 @@ def pack_lightcurves(
     )
 
 
+def unify_time_padding(*packs: PackedLightcurves):
+    """Re-pad the time axes of several packed sets to shared lengths so
+    feature-extraction kernels compile once across splits."""
+    t_band = max(p.band_time.shape[-1] for p in packs)
+    t_all = max(p.all_time.shape[-1] for p in packs)
+
+    def pad_last(x, n, fill):
+        extra = n - x.shape[-1]
+        if extra <= 0:
+            return x
+        pad_width = [(0, 0)] * (x.ndim - 1) + [(0, extra)]
+        return jnp.pad(x, pad_width, constant_values=fill)
+
+    out = []
+    for p in packs:
+        out.append(PackedLightcurves(
+            band_time=pad_last(p.band_time, t_band, TIME_PAD),
+            band_flux=pad_last(p.band_flux, t_band, 0.0),
+            band_err=pad_last(p.band_err, t_band, 1.0),
+            band_mask=pad_last(p.band_mask, t_band, False),
+            all_time=pad_last(p.all_time, t_all, TIME_PAD),
+            all_flux=pad_last(p.all_flux, t_all, 0.0),
+            all_err=pad_last(p.all_err, t_all, 1.0),
+            all_band=pad_last(p.all_band, t_all, -1),
+            all_mask=pad_last(p.all_mask, t_all, False),
+            time_offset=p.time_offset,
+        ))
+    return tuple(out)
+
+
 def pad_objects(packed: PackedLightcurves, n_total: int) -> PackedLightcurves:
     """Pad the object axis up to ``n_total`` rows (for even device sharding)."""
     n = packed.n_objects
