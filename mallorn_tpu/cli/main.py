@@ -187,6 +187,33 @@ def cmd_train(args):
             cv = pipelines.run_pseudo_label(Xtr, y, Xte, base.test_preds, verbose=True)
             result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold}
             test_preds, threshold = cv.test_preds, cv.best_threshold
+        elif args.config == "v115c":
+            from mallorn_tpu.io.cache import load_features
+            r_tr, r_names, _ = load_features(Path(args.cache) / "research_train.npz")
+            research_tr = {n: r_tr[:, i] for i, n in enumerate(r_names)}
+            research_te = None
+            if object_ids_test is not None:
+                r_te, _, _ = load_features(Path(args.cache) / "research_test.npz")
+                research_te = {n: r_te[:, i] for i, n in enumerate(r_names)}
+            out = pipelines.run_v115(Xtr, y, names, research_tr, Xte,
+                                     research_te, verbose=True)
+            cv = out.winner
+            result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold,
+                      "adv_auc": out.adversarial.auc,
+                      "n_features": len(out.feature_names)}
+            test_preds, threshold = cv.test_preds, cv.best_threshold
+        elif args.config == "v55":
+            p_tr, p_names = _load_matrices(args.cache, "train", ["powerlaw"])
+            Xtr2 = pipelines._finite_or_nan(np.concatenate([Xtr, p_tr], axis=1))
+            Xte2 = None
+            if object_ids_test is not None:
+                p_te, _ = _load_matrices(args.cache, "test", ["powerlaw"])
+                Xte2 = pipelines._finite_or_nan(np.concatenate([Xte, p_te], axis=1))
+            cv = train_cv(Xtr2, y, Xte2, pipelines.V34A_PARAMS,
+                          pad_features_to=pipelines.PAD_FEATURES, verbose=True)
+            result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold,
+                      "n_features": Xtr2.shape[1]}
+            test_preds, threshold = cv.test_preds, cv.best_threshold
         else:
             raise SystemExit(f"unknown config {args.config}")
 
@@ -253,7 +280,7 @@ def main(argv=None):
     pt.add_argument("--cache", required=True)
     pt.add_argument("--config", default="v92d",
                     choices=["baseline", "v34a", "v92", "v92a", "v92b", "v92c",
-                             "v92d", "v104", "v42"])
+                             "v92d", "v104", "v42", "v55", "v115c"])
     pt.add_argument("--out", default="artifacts")
     pt.set_defaults(fn=cmd_train)
 

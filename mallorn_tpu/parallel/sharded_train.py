@@ -65,3 +65,54 @@ def make_sharded_training_step(mesh: Mesh, params: GBDTParams,
         check_rep=False,
     )
     return jax.jit(step)
+
+
+def train_gbdt_sharded(mesh: Mesh, X, y, params: GBDTParams,
+                       sample_weight=None, scale_pos_weight: float = 1.0,
+                       axis: str = OBJ_AXIS):
+    """Full distributed GBDT training: rows sharded over the mesh, bin
+    edges global, histograms psum'd — every device builds identical trees
+    (XGBoost's distributed-hist contract). Returns a GBDTModel identical
+    (up to float reduction order) to single-device training."""
+    import numpy as np
+
+    from mallorn_tpu.trees import objectives
+    from mallorn_tpu.trees.binning import fit_bins
+    from mallorn_tpu.trees.gbdt import Forest, GBDTModel, _fit_jit
+
+    n_dev = mesh.devices.size
+    n = len(X)
+    n_pad = ((n + n_dev - 1) // n_dev) * n_dev
+
+    Xp = np.concatenate([np.asarray(X, np.float32),
+                         np.full((n_pad - n, X.shape[1]), np.nan, np.float32)])
+    yp = np.concatenate([np.asarray(y, np.float32), np.zeros(n_pad - n, np.float32)])
+    w = np.ones(n, np.float32) if sample_weight is None else np.asarray(sample_weight, np.float32)
+    w = w * np.where(np.asarray(y) > 0.5, scale_pos_weight, 1.0)
+    wp = np.concatenate([w, np.zeros(n_pad - n, np.float32)])
+
+    bin_spec = fit_bins(Xp[:n], params.n_bins)
+    from mallorn_tpu.trees.binning import apply_bins
+
+    binned = apply_bins(bin_spec, jnp.asarray(Xp))
+    keys = jax.random.split(jax.random.PRNGKey(params.seed), params.n_rounds)
+
+    def local_fit(binned_l, y_l, w_l, keys_l):
+        # subsample forced off: per-shard row draws would break the
+        # identical-trees contract (single-device parity)
+        f, imp, hist = _fit_jit(binned_l, y_l, w_l, binned_l[:1], y_l[:1],
+                                jnp.ones(1, bool), keys_l,
+                                params._replace(seed=0, subsample=1.0),
+                                objectives.logistic, False, axis)
+        return tuple(f), imp, hist
+
+    fit = shard_map(
+        local_fit, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P()),
+        out_specs=(tuple([P()] * 5), P(), P()),
+        check_rep=False,
+    )
+    forest_t, imp, hist = jax.jit(fit)(binned, jnp.asarray(yp), jnp.asarray(wp), keys)
+    forest = Forest(*forest_t)
+    return GBDTModel(forest=forest, bin_spec=bin_spec, params=params,
+                     importance_gain=imp, eval_history=hist, best_iteration=-1)

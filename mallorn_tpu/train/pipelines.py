@@ -300,6 +300,46 @@ def run_v92(
                      feature_names=names, best_variant=best)
 
 
+# v115 research-feature sets (reference: train_v115_xgb_research.py:120-132)
+V115_MINIMAL_RESEARCH = (
+    "nuclear_concentration", "nuclear_smoothness",
+    "g_r_color_at_peak", "r_i_color_at_peak",
+    "mhps_10_100_ratio", "mhps_30_100_ratio",
+)
+V115_EXTENDED_RESEARCH = V115_MINIMAL_RESEARCH + (
+    "nuclear_position_score", "mhps_10d", "mhps_30d",
+    "g_r_color_peak_to_late", "r_i_color_peak_to_late",
+)
+
+
+def run_v115(
+    X_train: np.ndarray, y: np.ndarray,
+    feature_names: Sequence[str],
+    research_train: FeatureSet,
+    X_test: Optional[np.ndarray] = None,
+    research_test: Optional[FeatureSet] = None,
+    extra: Sequence[str] = V115_EXTENDED_RESEARCH,
+    params: GBDTParams = V34A_PARAMS,
+    adv: Optional[AdversarialResult] = None,
+    verbose: bool = False,
+) -> V92Result:
+    """v115c: the v92d recipe + the extended research features
+    (reference: train_v115_xgb_research.py — v115c scored private LB
+    0.6757, the best post-deadline config)."""
+
+    def stack(X, research):
+        cols = [np.asarray(research[n], np.float32)[:, None] for n in extra]
+        return np.concatenate([np.asarray(X, np.float32)] + cols, axis=1)
+
+    Xtr = stack(X_train, research_train)
+    Xte = stack(X_test, research_test) if X_test is not None else None
+    names = list(feature_names) + list(extra)
+    return run_v92(Xtr, y, names, Xte, params=params,
+                   variants={"v92d_baseline_adv":
+                             {"gamma": 0.0, "use_scale_pos_weight": True}},
+                   adv=adv, verbose=verbose)
+
+
 def run_seed_ensemble(
     X_train: np.ndarray, y: np.ndarray, X_test: np.ndarray,
     params: GBDTParams = V34A_PARAMS,
