@@ -89,8 +89,24 @@ def main():
 
     # full v92d workload: all 4 feature families (224-col contract),
     # selection, adversarial validation, winning config training
-    tr_bundle = pipelines.extract_v34a_bundle(tr_packed, tr_meta)
-    te_bundle = pipelines.extract_v34a_bundle(te_packed, te_meta)
+    from mallorn_tpu.features import bazin, multiband_gp, tde
+    from mallorn_tpu.features.base import chunked_extract
+
+    def bundle(packed, meta, tag):
+        out = {}
+        for fam, fn in (
+            ("features_v4", lambda: pipelines.extract_features_v4(packed, meta)),
+            ("tde_physics", lambda: chunked_extract(tde.extract, packed)),
+            ("multiband_gp", lambda: multiband_gp.extract(packed, meta)),
+            ("bazin", lambda: chunked_extract(bazin.extract, packed)),
+        ):
+            t1 = time.perf_counter()
+            out[fam] = jax.block_until_ready(fn())
+            log(f"  {tag}/{fam}: {time.perf_counter() - t1:.1f}s")
+        return out
+
+    tr_bundle = bundle(tr_packed, tr_meta, "train")
+    te_bundle = bundle(te_packed, te_meta, "test")
     t_feat = time.perf_counter() - t0
     n_feats = sum(len(v) for v in tr_bundle.values())
     log(f"feature extraction ({n_feats} raw features, "

@@ -35,6 +35,41 @@ class LMResult(NamedTuple):
     valid: jnp.ndarray  # [...] bool: finite result
 
 
+def _chol_solve_small(A, b):
+    """Solve SPD A x = b for tiny static P via fully-unrolled Cholesky.
+
+    All operations are lane-elementwise scalars, so under vmap they become
+    pure VPU vector math — much faster on TPU than the batched LAPACK-style
+    ``jnp.linalg.solve`` for the ~61k tiny systems the LM builds each
+    iteration."""
+    P = A.shape[-1]
+    L = [[None] * P for _ in range(P)]
+    for i in range(P):
+        for j in range(i + 1):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
+            else:
+                L[i][j] = s / L[j][j]
+    # forward substitution L z = b
+    z = [None] * P
+    for i in range(P):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * z[k]
+        z[i] = s / L[i][i]
+    # back substitution L^T x = z
+    x = [None] * P
+    for i in reversed(range(P)):
+        s = z[i]
+        for k in range(i + 1, P):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
 def _lane_fit(model_fn, n_iters, lambda0, t, y, sigma, mask, theta0s, lb, ub):
     """Single-lane multi-start LM. theta0s: [S, P]."""
     span = ub - lb
@@ -66,7 +101,7 @@ def _lane_fit(model_fn, n_iters, lambda0, t, y, sigma, mask, theta0s, lb, ub):
             g = J.T @ r
             H = J.T @ J
             d = jnp.clip(jnp.diag(H), 1e-10, None)
-            delta = jnp.linalg.solve(H + lam * jnp.diag(d), -g)
+            delta = _chol_solve_small(H + lam * jnp.diag(d), -g)
             trial = jnp.clip(u + delta, -30.0, 30.0)
             c_trial = cost_of(trial)
             ok = jnp.isfinite(c_trial) & (c_trial < c)
