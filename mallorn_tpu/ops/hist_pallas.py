@@ -47,11 +47,10 @@ def _hist_kernel(seg_ref, gh_ref, out_ref, *, n_seg: int, rows: int):
         out_ref[:, :, :] = jnp.zeros_like(out_ref)
 
     seg_ids = jax.lax.broadcasted_iota(jnp.int32, (n_seg, rows), 0)
-    gh = gh_ref[:, :].astype(jnp.bfloat16)
+    gh = gh_ref[:, :]
     for k in range(F_BLOCK):  # one [S, R] onehot in VMEM at a time
         seg = seg_ref[k, :]
-        # bf16 indicator: exact (values are 0/1) and doubles MXU throughput
-        onehot = (seg[None, :] == seg_ids).astype(jnp.bfloat16)  # [S, R]
+        onehot = (seg[None, :] == seg_ids).astype(jnp.float32)  # [S, R]
         out_ref[k, :, :] += jnp.dot(onehot, gh,
                                     preferred_element_type=jnp.float32)
 
