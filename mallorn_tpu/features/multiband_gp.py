@@ -31,7 +31,7 @@ EPOCHS = (0, 20, 50, 100)
 PRED_BANDS = ((1, "g"), (2, "r"), (3, "i"))
 
 
-def extract(packed: PackedLightcurves, meta=None, n_steps: int = 200,
+def extract(packed: PackedLightcurves, meta=None, n_steps: int = 100,
             chunk_size: int = 2048) -> FeatureSet:
     """Chunk the object axis so the [chunk, T, T] kernel/Cholesky buffers
     (with AD residuals) stay well inside HBM at the 10k-object scale."""

@@ -68,7 +68,7 @@ def fit_gp_batched(
     mask: jnp.ndarray,  # [N, T]
     init_time_scale: float = 100.0,
     init_wave_scale: float = 6000.0,
-    n_steps: int = 200,
+    n_steps: int = 100,
     lr: float = 0.1,
 ) -> GPFit:
     """Optimize hyperparameters for every lane with batched Adam.
