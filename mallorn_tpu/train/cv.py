@@ -20,7 +20,8 @@ from sklearn.metrics import f1_score
 from sklearn.model_selection import StratifiedKFold
 
 from mallorn_tpu.trees.gbdt import (GBDTModel, GBDTParams, predict_proba,
-                                    predict_margin, train_gbdt)
+                                    predict_margin, train_gbdt,
+                                    train_gbdt_folds)
 
 
 def threshold_sweep(y: np.ndarray, probs: np.ndarray,
@@ -71,6 +72,7 @@ def train_cv(
     seed: int = 42,
     threshold_grid: Optional[np.ndarray] = None,
     pad_features_to: Optional[int] = None,
+    batched_folds: bool = True,
     verbose: bool = False,
 ) -> CVResult:
     """Stratified K-fold GBDT training with OOF + averaged test predictions.
@@ -78,6 +80,9 @@ def train_cv(
     ``sigmoid_outputs``: custom objectives produce raw margins that need an
     explicit sigmoid (reference: train_v92_focal_adversarial.py:256-259);
     the built-in logistic objective already reports probabilities.
+
+    ``batched_folds``: train all folds as one vmapped computation (one
+    compile + one dispatch; folds run concurrently on the chip).
     """
     y = np.asarray(y)
     skf = StratifiedKFold(n_splits=n_folds, shuffle=True, random_state=seed)
@@ -93,21 +98,39 @@ def train_cv(
     pad_train = max(len(tr) for tr, _ in splits)
     pad_val = max(len(va) for _, va in splits)
 
-    for fold, (tr, va) in enumerate(splits):
-        spw = float((y[tr] == 0).sum() / max((y[tr] == 1).sum(), 1)) \
+    def fold_spw(tr):
+        return float((y[tr] == 0).sum() / max((y[tr] == 1).sum(), 1)) \
             if use_scale_pos_weight else 1.0
-        w = sample_weight[tr] if sample_weight is not None else None
-        model = train_gbdt(
-            X_train[tr], y[tr], params,
-            sample_weight=w,
-            scale_pos_weight=spw,
-            objective=objective,
-            X_val=X_train[va], y_val=y[va],
+
+    if batched_folds:
+        folds = [{
+            "X": X_train[tr], "y": y[tr],
+            "w": sample_weight[tr] if sample_weight is not None else None,
+            "X_val": X_train[va], "y_val": y[va],
+            "spw": fold_spw(tr), "seed": params.seed,
+        } for tr, va in splits]
+        models = train_gbdt_folds(
+            folds, params, objective=objective,
             early_stopping_rounds=early_stopping_rounds,
             pad_rows_to=pad_train, pad_val_rows_to=pad_val,
-            pad_features_to=pad_features_to,
-        )
-        models.append(model)
+            pad_features_to=pad_features_to)
+
+    for fold, (tr, va) in enumerate(splits):
+        if batched_folds:
+            model = models[fold]
+        else:
+            w = sample_weight[tr] if sample_weight is not None else None
+            model = train_gbdt(
+                X_train[tr], y[tr], params,
+                sample_weight=w,
+                scale_pos_weight=fold_spw(tr),
+                objective=objective,
+                X_val=X_train[va], y_val=y[va],
+                early_stopping_rounds=early_stopping_rounds,
+                pad_rows_to=pad_train, pad_val_rows_to=pad_val,
+                pad_features_to=pad_features_to,
+            )
+            models.append(model)
 
         if sigmoid_outputs or objective is None:
             val_p = np.asarray(predict_proba(model, X_train[va]))

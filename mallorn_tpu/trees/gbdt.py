@@ -486,6 +486,96 @@ def _fit_dart(binned, binned_T, y, w, binned_val, yv, vmask, params, objective,
     return forest, jnp.sum(gains, axis=0), metrics
 
 
+def train_gbdt_folds(
+    folds,  # sequence of dicts: X, y, w(opt), X_val, y_val, spw
+    params: GBDTParams,
+    objective: Optional[Objective] = None,
+    early_stopping_rounds: Optional[int] = None,
+    pad_rows_to: Optional[int] = None,
+    pad_val_rows_to: Optional[int] = None,
+    pad_features_to: Optional[int] = None,
+):
+    """Train all CV folds as ONE vmapped computation.
+
+    Folds are padded to shared shapes and stacked on a leading fold axis;
+    ``jax.vmap(_fit_jit)`` then runs them concurrently — one compile, one
+    device dispatch for the whole CV (compile time dominates on the
+    remote-compile tunnel, and a single fold underutilizes the chip).
+    Returns a list of GBDTModel, one per fold.
+    """
+    if objective is None:
+        objective = objectives.logistic
+
+    n_folds = len(folds)
+    pad_rows_to = pad_rows_to or max(len(f["X"]) for f in folds)
+    pad_val_rows_to = pad_val_rows_to or max(len(f["X_val"]) for f in folds)
+
+    stacks = {k: [] for k in ("binned", "y", "w", "binned_val", "yv", "vmask", "keys")}
+    specs = []
+    for f in folds:
+        X, y_f = np.asarray(f["X"], np.float32), np.asarray(f["y"], np.float32)
+        Xv, yv_f = np.asarray(f["X_val"], np.float32), np.asarray(f["y_val"], np.float32)
+        if pad_features_to and pad_features_to > X.shape[1]:
+            ext = pad_features_to - X.shape[1]
+            X = np.concatenate([X, np.full((len(X), ext), np.nan, np.float32)], 1)
+            Xv = np.concatenate([Xv, np.full((len(Xv), ext), np.nan, np.float32)], 1)
+        spec = fit_bins(X, params.n_bins)
+        specs.append(spec)
+
+        w = f.get("w")
+        w = np.ones(len(y_f), np.float32) if w is None else np.asarray(w, np.float32)
+        w = w * np.where(y_f > 0.5, f.get("spw", 1.0), 1.0)
+
+        binned = np.asarray(apply_bins(spec, jnp.asarray(X)))
+        binned_val = np.asarray(apply_bins(spec, jnp.asarray(Xv)))
+
+        er, ev = pad_rows_to - len(X), pad_val_rows_to - len(Xv)
+        stacks["binned"].append(np.concatenate(
+            [binned, np.zeros((er, binned.shape[1]), binned.dtype)]))
+        stacks["y"].append(np.concatenate([y_f, np.zeros(er, np.float32)]))
+        stacks["w"].append(np.concatenate([w, np.zeros(er, np.float32)]))
+        stacks["binned_val"].append(np.concatenate(
+            [binned_val, np.zeros((ev, binned_val.shape[1]), binned_val.dtype)]))
+        stacks["yv"].append(np.concatenate([yv_f, np.zeros(ev, np.float32)]))
+        stacks["vmask"].append(np.concatenate(
+            [np.ones(len(Xv), bool), np.zeros(ev, bool)]))
+        stacks["keys"].append(np.asarray(jax.random.split(
+            jax.random.PRNGKey(f.get("seed", params.seed)), params.n_rounds)))
+
+    arrs = {k: jnp.asarray(np.stack(v)) for k, v in stacks.items()}
+
+    fit_v = jax.vmap(
+        lambda b, y_, w_, bv, yv_, vm, ks: _fit_jit(
+            b, y_, w_, bv, yv_, vm, ks, params._replace(seed=0), objective,
+            True, None))
+    forests, imps, hists = fit_v(arrs["binned"], arrs["y"], arrs["w"],
+                                 arrs["binned_val"], arrs["yv"],
+                                 arrs["vmask"], arrs["keys"])
+
+    n_feat_real = np.asarray(folds[0]["X"], np.float32).shape[1]
+    models = []
+    h_all = np.asarray(hists)
+    for i in range(n_folds):
+        best_it = -1
+        h = h_all[i]
+        if early_stopping_rounds:
+            best, best_i, stop = np.inf, 0, len(h)
+            for j, v in enumerate(h):
+                if v < best:
+                    best, best_i = v, j
+                elif j - best_i >= early_stopping_rounds:
+                    break
+            best_it = best_i
+        else:
+            best_it = int(np.argmin(h))
+        forest_i = Forest(*[a[i] for a in forests])
+        models.append(GBDTModel(
+            forest=forest_i, bin_spec=specs[i], params=params,
+            importance_gain=imps[i][:n_feat_real], eval_history=hists[i],
+            best_iteration=best_it))
+    return models
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def _predict_margin_jit(forest: Forest, binned, cfg):
     missing_id, depth, n_trees = cfg
