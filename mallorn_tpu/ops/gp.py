@@ -48,16 +48,28 @@ def _kernel_matrix(t, lam, mask, log_amp, log_lt2, log_lw2):
 
 def _nll(params, t, lam, y, yerr, mask):
     """Negative log marginal likelihood of one lane (masked)."""
+    dt2 = (t[:, None] - t[None, :]) ** 2
+    dl2 = (lam[:, None] - lam[None, :]) ** 2
+    return _nll_pre(params, dt2, dl2, y, yerr, mask)
+
+
+def _nll_pre(params, dt2, dl2, y, yerr, mask):
+    """NLL with precomputed pairwise distances (hoisted out of the
+    optimizer scan — they are parameter-independent and dominate the
+    elementwise work of the kernel build)."""
     mean, log_amp, log_lt2, log_lw2 = params
     n = jnp.sum(mask)
-    K = _kernel_matrix(t, lam, mask, log_amp, log_lt2, log_lw2)
+    r = jnp.sqrt(dt2 / jnp.exp(log_lt2) + dl2 / jnp.exp(log_lw2) + 1e-30)
+    K = jnp.exp(log_amp) * (1.0 + _SQRT3 * r) * jnp.exp(-_SQRT3 * r)
+    mm = mask[:, None] & mask[None, :]
+    K = jnp.where(mm, K, 0.0)
     diag = jnp.where(mask, yerr ** 2 + _JITTER, 1.0)
     K = K + jnp.diag(diag)
     L = jnp.linalg.cholesky(K)
-    r = jnp.where(mask, y - mean, 0.0)
-    alpha = jax.scipy.linalg.cho_solve((L, True), r)
+    rr = jnp.where(mask, y - mean, 0.0)
+    alpha = jax.scipy.linalg.cho_solve((L, True), rr)
     logdet = 2.0 * jnp.sum(jnp.where(mask, jnp.log(jnp.diagonal(L)), 0.0))
-    return 0.5 * (r @ alpha + logdet + n * jnp.log(2.0 * jnp.pi))
+    return 0.5 * (rr @ alpha + logdet + n * jnp.log(2.0 * jnp.pi))
 
 
 def fit_gp_batched(
@@ -87,11 +99,13 @@ def fit_gp_batched(
         jnp.full_like(mu0, 2.0 * jnp.log(init_wave_scale)),
     ], axis=1)
 
-    grad_fn = jax.vmap(jax.value_and_grad(_nll), in_axes=(0, 0, 0, 0, 0, 0))
+    dt2 = (t[:, :, None] - t[:, None, :]) ** 2
+    dl2 = (lam[:, :, None] - lam[:, None, :]) ** 2
+    grad_fn = jax.vmap(jax.value_and_grad(_nll_pre), in_axes=(0,) * 6)
 
     def adam_step(carry, _):
         params, m, v, i = carry
-        nll, g = grad_fn(params, t, lam, y, yerr, mask)
+        nll, g = grad_fn(params, dt2, dl2, y, yerr, mask)
         g = jnp.where(jnp.isfinite(g), g, 0.0)
         m = 0.9 * m + 0.1 * g
         v = 0.999 * v + 0.001 * g * g
@@ -104,7 +118,7 @@ def fit_gp_batched(
         adam_step, (params0, jnp.zeros_like(params0), jnp.zeros_like(params0),
                     jnp.asarray(0)), None, length=n_steps)
 
-    final_nll = jax.vmap(_nll)(params, t, lam, y, yerr, mask)
+    final_nll = jax.vmap(_nll_pre)(params, dt2, dl2, y, yerr, mask)
     # keep the better of (final, init) per lane — Adam can overshoot
     init_nll = nlls[0]
     use_init = init_nll < final_nll
