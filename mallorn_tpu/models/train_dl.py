@@ -30,6 +30,33 @@ def weighted_bce(logits, labels, pos_weight: float = 10.0):
     return jnp.mean(w * ce)
 
 
+def save_params(path, params) -> str:
+    """Persist a Flax params pytree (orbax StandardCheckpointer)."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(str(path))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, params, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_params(path, like=None):
+    """Restore a params pytree saved by save_params. ``like`` (an abstract
+    or concrete pytree of the same structure) enables exact restoration."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    if like is not None:
+        return ckptr.restore(os.path.abspath(str(path)),
+                             target=jax.tree.map(np.asarray, like))
+    return ckptr.restore(os.path.abspath(str(path)))
+
+
 @dataclasses.dataclass
 class DLResult:
     params: dict
