@@ -12,6 +12,8 @@ including its exact grad/hess algebra so the trained trees agree.
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
 
 
@@ -23,11 +25,14 @@ def logistic(margin, label, weight):
     return grad, hess
 
 
+@functools.lru_cache(maxsize=None)
 def make_focal(gamma: float, alpha: float):
     """Focal-loss objective (reference v92 Adversarial_Focal_Loss).
 
     The sample weights (adversarial) arrive via ``weight``; alpha-balancing
-    is applied per label as in the reference (:122).
+    is applied per label as in the reference (:122). Cached so identical
+    (gamma, alpha) configs share one closure — the objective is a static
+    jit argument and a fresh closure would force a recompile.
     """
 
     def focal(margin, label, weight):
