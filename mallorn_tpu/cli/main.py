@@ -169,15 +169,16 @@ def cmd_train(args):
             save_cv_models(out_dir / f"models_{args.config}", cv.models,
                            cv.best_threshold, out.feature_names)
         elif args.config == "v104":
+            # v92d feature set + adversarial weights, then 10-seed ensemble
             out = pipelines.run_v92(Xtr, y, names, Xte,
                                     variants={"v92d_baseline_adv":
                                               {"gamma": 0.0, "use_scale_pos_weight": True}})
+            keep = [i for i, n in enumerate(names)
+                    if n not in pipelines.SHIFT_FEATURES]
+            X92tr = pipelines._finite_or_nan(np.asarray(Xtr)[:, keep])
+            X92te = pipelines._finite_or_nan(np.asarray(Xte)[:, keep])
             oof, test_preds, f1s = pipelines.run_seed_ensemble(
-                pipelines._finite_or_nan(np.asarray(Xtr)[:, [i for i, n in enumerate(names)
-                                                             if n not in pipelines.SHIFT_FEATURES]]),
-                y,
-                pipelines._finite_or_nan(np.asarray(Xte)[:, [i for i, n in enumerate(names)
-                                                             if n not in pipelines.SHIFT_FEATURES]]),
+                X92tr, y, X92te,
                 sample_weight=out.adversarial.sample_weights, verbose=True)
             from mallorn_tpu.train.cv import threshold_sweep
             f1, threshold = threshold_sweep(y, oof, np.linspace(0.05, 0.5, 200))

@@ -354,9 +354,8 @@ def train_gbdt(
                      best_iteration=best_it)
 
 
-@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10))
-def _fit_jit(binned, y, w, binned_val, yv, vmask, keys, params: GBDTParams,
-             objective, has_val: bool, axis_name):
+def _fit_impl(binned, y, w, binned_val, yv, vmask, keys, params: GBDTParams,
+              objective, has_val: bool, axis_name):
     n, n_f = binned.shape
     depth = params.max_depth
     missing_id = params.n_bins
@@ -544,10 +543,7 @@ def train_gbdt_folds(
 
     arrs = {k: jnp.asarray(np.stack(v)) for k, v in stacks.items()}
 
-    fit_v = jax.vmap(
-        lambda b, y_, w_, bv, yv_, vm, ks: _fit_jit(
-            b, y_, w_, bv, yv_, vm, ks, params._replace(seed=0), objective,
-            True, None))
+    fit_v = _folds_executable(params._replace(seed=0), objective, True, None)
     forests, imps, hists = fit_v(arrs["binned"], arrs["y"], arrs["w"],
                                  arrs["binned_val"], arrs["yv"],
                                  arrs["vmask"], arrs["keys"])
@@ -574,6 +570,24 @@ def train_gbdt_folds(
             importance_gain=imps[i][:n_feat_real], eval_history=hists[i],
             best_iteration=best_it))
     return models
+
+
+_fit_jit = functools.partial(jax.jit, static_argnums=(7, 8, 9, 10))(_fit_impl)
+
+
+@functools.lru_cache(maxsize=None)
+def _folds_executable(params: GBDTParams, objective, has_val: bool, axis_name):
+    """Cached jitted vmap of the boosting scan over a leading fold axis.
+
+    Must be cached by the static config: rebuilding the vmap wrapper per
+    call would re-trace (and off the jit cache, re-compile) every time —
+    e.g. once per seed in the v104 ensemble."""
+
+    def one(b, y_, w_, bv, yv_, vm, ks):
+        return _fit_impl(b, y_, w_, bv, yv_, vm, ks, params, objective,
+                         has_val, axis_name)
+
+    return jax.jit(jax.vmap(one))
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
