@@ -84,64 +84,69 @@ def main():
 
     from mallorn_tpu.train import pipelines
     from mallorn_tpu.train.cv import train_cv
-
-    t0 = time.perf_counter()
-
-    # full v92d workload: all 4 feature families (224-col contract),
-    # selection, adversarial validation, winning config training
     from mallorn_tpu.features import bazin, multiband_gp, tde
-    from mallorn_tpu.features.base import chunked_extract
-
-    def bundle(packed, meta, tag):
-        out = {}
-        for fam, fn in (
-            ("features_v4", lambda: pipelines.extract_features_v4(packed, meta)),
-            ("tde_physics", lambda: chunked_extract(tde.extract, packed)),
-            ("multiband_gp", lambda: multiband_gp.extract(packed, meta)),
-            ("bazin", lambda: chunked_extract(bazin.extract, packed)),
-        ):
-            t1 = time.perf_counter()
-            out[fam] = jax.block_until_ready(fn())
-            log(f"  {tag}/{fam}: {time.perf_counter() - t1:.1f}s")
-        return out
-
-    tr_bundle = bundle(tr_packed, tr_meta, "train")
-    te_bundle = bundle(te_packed, te_meta, "test")
-    t_feat = time.perf_counter() - t0
-    n_feats = sum(len(v) for v in tr_bundle.values())
-    log(f"feature extraction ({n_feats} raw features, "
-        f"{N_TRAIN + N_TEST} objects): {t_feat:.2f}s")
-
-    t1 = time.perf_counter()
-    from mallorn_tpu.features.base import feature_matrix
+    from mallorn_tpu.features.base import chunked_extract, feature_matrix
     from mallorn_tpu.train.feature_selection import select_features
 
-    Xv4, v4_names = feature_matrix(tr_bundle["features_v4"])
-    Xv4 = pipelines._finite_or_nan(Xv4)
-    sel_cv = train_cv(Xv4, tr_meta.target, None, pipelines.V34A_PARAMS,
-                      pad_features_to=pipelines.PAD_FEATURES)
-    selection = select_features(Xv4, v4_names, sel_cv.importance_gain, 120)
-    X_tr, names = pipelines.assemble_v34a_matrix(tr_bundle, selection.selected)
-    X_te, _ = pipelines.assemble_v34a_matrix(te_bundle, selection.selected)
-    log(f"selection pass: {time.perf_counter() - t1:.2f}s "
-        f"({len(names)} assembled features)")
+    def run_once(tag):
+        """Full v92d workload: all 4 feature families (224-col contract),
+        selection, adversarial validation, winning config training."""
+        t0 = time.perf_counter()
 
-    t2 = time.perf_counter()
-    out = pipelines.run_v92(X_tr, tr_meta.target, names, X_te,
-                            variants={"v92d_baseline_adv":
-                                      {"gamma": 0.0, "use_scale_pos_weight": True}})
-    t_train = time.perf_counter() - t2
-    winner = out.winner
-    log(f"adversarial + v92d train: {t_train:.2f}s, "
-        f"OOF F1={winner.best_f1:.4f} @ {winner.best_threshold:.3f}, "
-        f"adv AUC={out.adversarial.auc:.3f}")
+        def bundle(packed, meta, split):
+            out = {}
+            for fam, fn in (
+                ("features_v4", lambda: pipelines.extract_features_v4(packed, meta)),
+                ("tde_physics", lambda: chunked_extract(tde.extract, packed)),
+                ("multiband_gp", lambda: multiband_gp.extract(packed, meta)),
+                ("bazin", lambda: chunked_extract(bazin.extract, packed)),
+            ):
+                t1 = time.perf_counter()
+                out[fam] = jax.block_until_ready(fn())
+                log(f"  [{tag}] {split}/{fam}: {time.perf_counter() - t1:.1f}s")
+            return out
 
-    total = time.perf_counter() - t0
+        tr_bundle = bundle(tr_packed, tr_meta, "train")
+        te_bundle = bundle(te_packed, te_meta, "test")
+        t_feat = time.perf_counter() - t0
+        n_feats = sum(len(v) for v in tr_bundle.values())
+        log(f"[{tag}] feature extraction ({n_feats} raw features, "
+            f"{N_TRAIN + N_TEST} objects): {t_feat:.2f}s")
+
+        t1 = time.perf_counter()
+        Xv4, v4_names = feature_matrix(tr_bundle["features_v4"])
+        Xv4 = pipelines._finite_or_nan(Xv4)
+        sel_cv = train_cv(Xv4, tr_meta.target, None, pipelines.V34A_PARAMS,
+                          pad_features_to=pipelines.PAD_FEATURES)
+        selection = select_features(Xv4, v4_names, sel_cv.importance_gain, 120)
+        X_tr, names = pipelines.assemble_v34a_matrix(tr_bundle, selection.selected)
+        X_te, _ = pipelines.assemble_v34a_matrix(te_bundle, selection.selected)
+        log(f"[{tag}] selection pass: {time.perf_counter() - t1:.2f}s "
+            f"({len(names)} assembled features)")
+
+        t2 = time.perf_counter()
+        out = pipelines.run_v92(X_tr, tr_meta.target, names, X_te,
+                                variants={"v92d_baseline_adv":
+                                          {"gamma": 0.0, "use_scale_pos_weight": True}})
+        winner = out.winner
+        log(f"[{tag}] adversarial + v92d train: {time.perf_counter() - t2:.2f}s, "
+            f"OOF F1={winner.best_f1:.4f} @ {winner.best_threshold:.3f}, "
+            f"adv AUC={out.adversarial.auc:.3f}")
+        return time.perf_counter() - t0
+
+    # Pass 1 pays one-time compilation (the axon tunnel forces remote
+    # compilation and bypasses the persistent cache; compile time is also
+    # highly variable run to run). Pass 2 is the steady-state pipeline.
+    cold = run_once("cold")
+    log(f"cold e2e (incl. compilation): {cold:.2f}s")
+    warm = run_once("warm")
+    log(f"warm e2e (steady state): {warm:.2f}s")
+
     print(json.dumps({
-        "metric": "e2e_v92d_pipeline_seconds_10178obj",
-        "value": round(total, 2),
+        "metric": "e2e_v92d_pipeline_seconds_10178obj_steady_state",
+        "value": round(warm, 2),
         "unit": "s",
-        "vs_baseline": round(REF_PIPELINE_SECONDS / total, 2),
+        "vs_baseline": round(REF_PIPELINE_SECONDS / warm, 2),
     }))
 
 
