@@ -121,7 +121,8 @@ def fit_gp_batched(
     init_time_scale: float = 100.0,
     init_wave_scale: float = 6000.0,
     n_steps: int = 100,
-    lr: float = 0.1,
+    lr: float = 0.5,
+    lr_final: float = 0.02,
 ) -> GPFit:
     """Optimize hyperparameters for every lane with batched Adam.
 
@@ -145,13 +146,17 @@ def fit_gp_batched(
 
     def adam_step(carry, _):
         params, m, v, i = carry
+        # cosine lr decay: aggressive early steps + fine late convergence
+        # measurably beats flat lr at equal cost (see PERF.md)
+        lr_i = lr_final + 0.5 * (lr - lr_final) * (
+            1.0 + jnp.cos(jnp.pi * i / n_steps))
         nll, g = grad_fn(params, dt2, dl2, y, yerr, mask)
         g = jnp.where(jnp.isfinite(g), g, 0.0)
         m = 0.9 * m + 0.1 * g
         v = 0.999 * v + 0.001 * g * g
         mh = m / (1.0 - 0.9 ** (i + 1))
         vh = v / (1.0 - 0.999 ** (i + 1))
-        params = params - lr * mh / (jnp.sqrt(vh) + 1e-8)
+        params = params - lr_i * mh / (jnp.sqrt(vh) + 1e-8)
         return (params, m, v, i + 1), nll
 
     (params, _, _, _), nlls = jax.lax.scan(
