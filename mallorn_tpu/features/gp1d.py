@@ -49,7 +49,7 @@ def _nll(params, t, y, alpha, mask):
     return 0.5 * (r @ a + logdet + n * jnp.log(2.0 * jnp.pi))
 
 
-def _fit_lane(t, y, alpha, mask, n_steps, lr=0.1):
+def _fit_lane(t, y, alpha, mask, n_steps, lr=0.5, lr_final=0.02):
     p0 = jnp.array([jnp.log(1.0), jnp.log(0.2), jnp.log(0.1)])
     lo = jnp.array([b[0] for b in _LOG_BOUNDS.values()])
     hi = jnp.array([b[1] for b in _LOG_BOUNDS.values()])
@@ -58,11 +58,12 @@ def _fit_lane(t, y, alpha, mask, n_steps, lr=0.1):
 
     def step(carry, _):
         p, m, v, i = carry
+        lr_i = lr_final + 0.5 * (lr - lr_final) * (1.0 + jnp.cos(jnp.pi * i / n_steps))
         nll, g = grad_fn(p, t, y, alpha, mask)
         g = jnp.where(jnp.isfinite(g), g, 0.0)
         m = 0.9 * m + 0.1 * g
         v = 0.999 * v + 0.001 * g * g
-        p = p - lr * (m / (1 - 0.9 ** (i + 1))) / (jnp.sqrt(v / (1 - 0.999 ** (i + 1))) + 1e-8)
+        p = p - lr_i * (m / (1 - 0.9 ** (i + 1))) / (jnp.sqrt(v / (1 - 0.999 ** (i + 1))) + 1e-8)
         p = jnp.clip(p, lo, hi)
         return (p, m, v, i + 1), nll
 

@@ -59,7 +59,7 @@ def build_histograms_pallas(
     seg: jnp.ndarray,  # [F, N] int32 per-feature segment ids
     gh: jnp.ndarray,  # [N, 2] f32 (grad, hess)
     n_seg: int,
-    row_chunk: int = 128,
+    row_chunk: int = 512,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Returns [F, n_seg, 2] f32 histograms."""

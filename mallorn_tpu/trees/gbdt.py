@@ -219,13 +219,17 @@ def _train_tree(binned_T, binned, grad, hess, col_mask, p: GBDTParams, axis_name
         stays = ~in_level | is_leaf[jnp.clip(node, 0, n_internal - 1)]
         node = jnp.where(stays, node, child)
 
-    # terminal leaves at the last level
+    # terminal leaves at the last level. One-hot matmul instead of
+    # segment_sum: XLA lowers the scatter-add to a serialized row loop on
+    # TPU (~3 ms/round); the [N, 2^D] indicator contraction is ~free.
     leaf_start = 2 ** depth - 1
     local = node - leaf_start
     at_leaf_level = (local >= 0) & (local < 2 ** depth)
-    seg = jnp.where(at_leaf_level, local, 2 ** depth)
-    sums = jax.ops.segment_sum(
-        jnp.stack([grad, hess], -1), seg, num_segments=2 ** depth + 1)[:-1]
+    seg = jnp.where(at_leaf_level, local, 0)
+    onehot = (seg[:, None] == jnp.arange(2 ** depth)[None, :]) & at_leaf_level[:, None]
+    sums = jnp.dot(onehot.astype(jnp.float32).T,
+                   jnp.stack([grad, hess], -1),
+                   preferred_element_type=jnp.float32)
     sums = _psum(sums, axis_name)
     lv = _leaf_weight(sums[:, 0], sums[:, 1], p.reg_alpha, p.reg_lambda,
                       p.learning_rate)
