@@ -139,14 +139,19 @@ def main():
     # highly variable run to run). Pass 2 is the steady-state pipeline.
     cold = run_once("cold")
     log(f"cold e2e (incl. compilation): {cold:.2f}s")
-    warm = run_once("warm")
-    log(f"warm e2e (steady state): {warm:.2f}s")
+    try:
+        warm = run_once("warm")
+        log(f"warm e2e (steady state): {warm:.2f}s")
+        metric, value = "e2e_v92d_pipeline_seconds_10178obj_steady_state", warm
+    except Exception as e:  # never exit without the JSON line
+        log(f"warm pass failed ({e!r}); reporting cold time")
+        metric, value = "e2e_v92d_pipeline_seconds_10178obj_cold", cold
 
     print(json.dumps({
-        "metric": "e2e_v92d_pipeline_seconds_10178obj_steady_state",
-        "value": round(warm, 2),
+        "metric": metric,
+        "value": round(value, 2),
         "unit": "s",
-        "vs_baseline": round(REF_PIPELINE_SECONDS / warm, 2),
+        "vs_baseline": round(REF_PIPELINE_SECONDS / value, 2),
     }))
 
 
