@@ -19,21 +19,22 @@ def test_smoke_and_guards(tiny_dataset, model_type):
 
 
 @requires_reference
-def test_chi2_quality_vs_reference(small_dataset, ref_src):
+@pytest.mark.parametrize("model_type", ["hybrid", "guillochon", "piecewise"])
+def test_chi2_quality_vs_reference(small_dataset, ref_src, model_type):
     from features.tde_physics_model import extract_tde_features_single
     from mallorn_tpu.features import tde_models
     from tests.oracles.frames import to_reference_frames
 
     packed, meta, cols = small_dataset
     ours = {k: np.asarray(v) for k, v in
-            tde_models.extract(packed, model_type="hybrid").items()}
+            tde_models.extract(packed, model_type=model_type).items()}
 
     lc, _ = to_reference_frames(cols, meta)
     grouped = {o: g for o, g in lc.groupby("object_id")}
 
     n_ref = n_both = n_good = 0
     for i, oid in enumerate(meta.object_ids[:32]):
-        ref = extract_tde_features_single(grouped[oid], "hybrid")
+        ref = extract_tde_features_single(grouped[oid], model_type)
         for band in ["g", "r", "i"]:
             cr = ref.get(f"{band}_tde_fit_chi2", np.nan)
             co = ours[f"{band}_tde_fit_chi2"][i]
