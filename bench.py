@@ -25,7 +25,10 @@ import numpy as np
 REF_PIPELINE_SECONDS = 900.0
 N_TRAIN, N_TEST = 3054, 7124
 
-CACHE = Path(__file__).parent / ".bench_data.npz"
+# v2: train/test drawn from SHIFTED distributions (cadence, depth, z,
+# class mix) so the adversarial-reweighting path — the reference winner's
+# defining component — is actually exercised (VERDICT.md round-1 #2).
+CACHE = Path(__file__).parent / ".bench_data_v2.npz"
 
 
 def log(msg):
@@ -34,38 +37,33 @@ def log(msg):
 
 def get_data():
     from mallorn_tpu.data.packing import Metadata, pack_lightcurves
-    from mallorn_tpu.data.synthetic import generate_dataset
+    from mallorn_tpu.data.synthetic import generate_competition_splits
 
     if CACHE.exists():
         z = np.load(CACHE, allow_pickle=True)
-        cols = {k: z[k] for k in ("object_index", "time", "flux", "flux_err", "band")}
-        meta_all = Metadata(object_ids=z["object_ids"], z=z["z"], ebv=z["ebv"],
-                            target=z["target"])
-    else:
-        log("generating synthetic dataset (one-time, cached)...")
-        _, meta_all, cols = generate_dataset(N_TRAIN + N_TEST, seed=20260816,
-                                             tde_frac=0.05)
-        np.savez_compressed(CACHE, object_ids=meta_all.object_ids, z=meta_all.z,
-                            ebv=meta_all.ebv, target=meta_all.target, **cols)
 
-    n_all = N_TRAIN + N_TEST
-    is_train_obj = np.zeros(n_all, bool)
-    is_train_obj[:N_TRAIN] = True
+        def unpack(tag, n):
+            cols = {k: z[f"{tag}_{k}"]
+                    for k in ("object_index", "time", "flux", "flux_err", "band")}
+            packed = pack_lightcurves(cols["object_index"], cols["time"],
+                                      cols["flux"], cols["flux_err"],
+                                      cols["band"], n)
+            meta = Metadata(object_ids=z[f"{tag}_object_ids"], z=z[f"{tag}_z"],
+                            ebv=z[f"{tag}_ebv"], target=z[f"{tag}_target"])
+            return packed, meta
 
-    def subset(keep_obj):
-        idx_map = -np.ones(n_all, np.int64)
-        ids = np.where(keep_obj)[0]
-        idx_map[ids] = np.arange(len(ids))
-        keep = keep_obj[cols["object_index"]]
-        packed = pack_lightcurves(
-            idx_map[cols["object_index"][keep]], cols["time"][keep],
-            cols["flux"][keep], cols["flux_err"][keep], cols["band"][keep],
-            len(ids))
-        meta = Metadata(object_ids=meta_all.object_ids[ids], z=meta_all.z[ids],
-                        ebv=meta_all.ebv[ids], target=meta_all.target[ids])
-        return packed, meta
+        return unpack("tr", N_TRAIN), unpack("te", N_TEST)
 
-    return subset(is_train_obj), subset(~is_train_obj)
+    log("generating shifted synthetic dataset (one-time, cached)...")
+    (tr_p, tr_m, tr_cols), (te_p, te_m, te_cols) = generate_competition_splits(
+        N_TRAIN, N_TEST, seed=20260816, tde_frac=0.05)
+    save = {}
+    for tag, m, cols in (("tr", tr_m, tr_cols), ("te", te_m, te_cols)):
+        save.update({f"{tag}_{k}": v for k, v in cols.items()})
+        save.update({f"{tag}_object_ids": m.object_ids, f"{tag}_z": m.z,
+                     f"{tag}_ebv": m.ebv, f"{tag}_target": m.target})
+    np.savez_compressed(CACHE, **save)
+    return (tr_p, tr_m), (te_p, te_m)
 
 
 def main():
@@ -129,9 +127,19 @@ def main():
                                 variants={"v92d_baseline_adv":
                                           {"gamma": 0.0, "use_scale_pos_weight": True}})
         winner = out.winner
+        w = out.adversarial.sample_weights
         log(f"[{tag}] adversarial + v92d train: {time.perf_counter() - t2:.2f}s, "
             f"OOF F1={winner.best_f1:.4f} @ {winner.best_threshold:.3f}, "
-            f"adv AUC={out.adversarial.auc:.3f}")
+            f"adv AUC={out.adversarial.auc:.3f}, "
+            f"weights=[{w.min():.2f},{w.max():.2f}] std={w.std():.3f}")
+        # the synthetic test labels are known: report generalization under
+        # the injected train/test shift (the reference's LB analog)
+        from sklearn.metrics import f1_score
+
+        test_f1 = f1_score(te_meta.target,
+                           (winner.test_preds > winner.best_threshold).astype(int))
+        log(f"[{tag}] TEST F1 under shift = {test_f1:.4f} "
+            f"({int(te_meta.target.sum())} TDEs in test)")
         return time.perf_counter() - t0
 
     # Pass 1 pays one-time compilation (the axon tunnel forces remote

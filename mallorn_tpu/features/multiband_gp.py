@@ -18,6 +18,8 @@ serial george/L-BFGS loop. Semantics preserved:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -34,23 +36,52 @@ PRED_BANDS = ((1, "g"), (2, "r"), (3, "i"))
 def extract(packed: PackedLightcurves, meta=None, n_steps: int = 100,
             chunk_size: int = 2048) -> FeatureSet:
     """Chunk the object axis so the [chunk, T, T] kernel/Cholesky buffers
-    (with AD residuals) stay well inside HBM at the 10k-object scale."""
+    stay well inside HBM at the 10k-object scale.
+
+    Objects are processed in *valid-count-sorted* order and each chunk's
+    time axis is compacted (valid points gathered to the front) and
+    truncated to the chunk's max count rounded up to a multiple of 32 —
+    so a chunk of sparse objects pays a (T_c/T)^3 fraction of the full
+    Cholesky cost instead of everyone paying the dataset-max T. Rounding
+    to 32 keeps the set of compiled shapes small (2-3 per dataset) and
+    shared between the train and test splits.
+    """
+    import numpy as np
+
     n = packed.n_objects
-    if n > chunk_size:
-        import numpy as np
+    T = packed.all_time.shape[1]
 
-        outs = []
-        for s in range(0, n, chunk_size):
-            e = min(s + chunk_size, n)
-            sub = PackedLightcurves(
-                *[x[s:e] if hasattr(x, "ndim") and x.ndim >= 1 else x
-                  for x in packed[:-1]], time_offset=packed.time_offset)
-            outs.append(_extract_chunk(sub, n_steps))
-        return {k: jnp.concatenate([o[k] for o in outs]) for k in outs[0]}
-    return _extract_chunk(packed, n_steps)
+    af = np.asarray(packed.all_flux)
+    ae = np.asarray(packed.all_err)
+    am = np.asarray(packed.all_mask)
+    counts = (am & np.isfinite(af) & np.isfinite(ae) & (ae > 0)).sum(1)
+
+    if n <= chunk_size:
+        tc = min(T, int(np.ceil(max(int(counts.max(initial=1)), 32) / 32) * 32))
+        return _extract_chunk(packed, n_steps, tc)
+
+    from mallorn_tpu.data.packing import pad_objects
+
+    order = np.argsort(counts, kind="stable")
+    outs = []
+    for s in range(0, n, chunk_size):
+        idx = order[s: s + chunk_size]
+        sub = PackedLightcurves(
+            *[x[idx] if hasattr(x, "ndim") and x.ndim >= 1 else x
+              for x in packed[:-1]], time_offset=packed.time_offset)
+        if len(idx) < chunk_size:
+            sub = pad_objects(sub, chunk_size)
+        tc = min(T, int(np.ceil(max(int(counts[idx].max()), 32) / 32) * 32))
+        out = _extract_chunk(sub, n_steps, tc)
+        outs.append({k: v[: len(idx)] for k, v in out.items()})
+    cat = {k: jnp.concatenate([o[k] for o in outs]) for k in outs[0]}
+    inv = np.argsort(order)  # undo the count sort
+    return {k: v[inv] for k, v in cat.items()}
 
 
-def _extract_chunk(packed: PackedLightcurves, n_steps: int) -> FeatureSet:
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _extract_chunk(packed: PackedLightcurves, n_steps: int,
+                   t_compact: int) -> FeatureSet:
     at, af, ae, ab, am = (packed.all_time, packed.all_flux, packed.all_err,
                           packed.all_band, packed.all_mask)
     n_obj = packed.n_objects
@@ -72,6 +103,14 @@ def _extract_chunk(packed: PackedLightcurves, n_steps: int) -> FeatureSet:
     scale = jnp.where(jnp.isnan(scale) | (scale == 0), 1.0, scale)
     y = jnp.where(use, af / scale[:, None], 0.0)
     yerr = jnp.where(use, ae / scale[:, None], 1.0)
+
+    if t_compact < t.shape[1]:
+        # gather valid points to the front (stable -> order preserved)
+        # and truncate: the GP only ever sees the `use` points
+        perm = jnp.argsort(jnp.where(use, 0, 1), axis=1,
+                           stable=True)[:, :t_compact]
+        gather = lambda a: jnp.take_along_axis(a, perm, axis=1)
+        t, lam, y, yerr, use = map(gather, (t, lam, y, yerr, use))
 
     fit = fit_gp_batched(t, lam, y, yerr, use, n_steps=n_steps)
     ok = ok & fit.valid

@@ -80,6 +80,11 @@ def _nll_and_grad_analytic(params, dt2, dl2, y, yerr, mask):
     back-propagating through the Cholesky loop (~1.4x faster on TPU and a
     smaller graph). Matern-3/2 identities: dk/dlog_l2 = 1.5 amp e^{-s}
     (d2/l2), dk/dlog_amp = k.
+
+    K^-1 is built as Linv^T @ Linv from ONE triangular solve: triangular
+    solves serialize over panels on TPU, so halving the solve work and
+    moving the recombination onto the MXU beats cho_solve with an identity
+    right-hand side.
     """
     mean, log_amp, log_lt2, log_lw2 = params
     n = jnp.sum(mask)
@@ -94,7 +99,9 @@ def _nll_and_grad_analytic(params, dt2, dl2, y, yerr, mask):
     L = jnp.linalg.cholesky(K)
     resid = jnp.where(mask, y - mean, 0.0)
     alpha = jax.scipy.linalg.cho_solve((L, True), resid)
-    Kinv = jax.scipy.linalg.cho_solve((L, True), jnp.eye(K.shape[0], dtype=K.dtype))
+    Linv = jax.scipy.linalg.solve_triangular(
+        L, jnp.eye(K.shape[0], dtype=K.dtype), lower=True)
+    Kinv = Linv.T @ Linv
     logdet = 2.0 * jnp.sum(jnp.where(mask, jnp.log(jnp.diagonal(L)), 0.0))
     nll = 0.5 * (resid @ alpha + logdet + n * jnp.log(2.0 * jnp.pi))
 

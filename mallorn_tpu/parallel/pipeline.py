@@ -1,0 +1,150 @@
+"""The full v92d pipeline over a device mesh.
+
+This is the framework's distributed deliverable (the reference is a
+single-process CPU pipeline — SURVEY.md §2.2): raw packed lightcurves in,
+TDE probabilities out, with
+
+- feature extraction sharded over the object axis: every kernel is a
+  vmapped per-object computation, so placing the inputs with a
+  ``NamedSharding(mesh, P('obj'))`` lets XLA run them shard-local with
+  zero communication (SPMD object-batch data parallelism);
+- GBDT training sharded over the row axis with per-(feature, node, bin)
+  histograms psum'd over ICI inside a fold-vmapped ``shard_map``
+  (``parallel.sharded_train.train_gbdt_folds_sharded``) — XGBoost's
+  distributed-hist algorithm mapped onto the mesh. Global-row-id
+  subsampling keeps the trees EXACTLY equal to single-device training,
+  including the winning config's subsample=0.8
+  (reference: scripts/train_v34a_bazin.py:141).
+
+The same code runs on one chip (mesh of 1) or a v5e-8 slice; tests
+exercise it on an 8-device virtual CPU mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from mallorn_tpu.data.packing import Metadata, PackedLightcurves
+from mallorn_tpu.features import bazin, colors, multiband_gp, physics, shape, statistical, tde
+from mallorn_tpu.features.base import FeatureSet, merge
+from mallorn_tpu.parallel.mesh import OBJ_AXIS, make_mesh, object_sharding, shard_packed
+
+
+def _pad_meta(meta: Metadata, n_pad: int, sharding=None) -> Metadata:
+    def _f(x):
+        if x is None:
+            return None
+        x = np.asarray(x)
+        if len(x) < n_pad:
+            x = np.concatenate(
+                [x, np.zeros((n_pad - len(x),) + x.shape[1:], x.dtype)])
+        if sharding is not None and np.issubdtype(x.dtype, np.number):
+            x = jax.device_put(x, sharding)
+        return x
+
+    return Metadata(object_ids=np.asarray(meta.object_ids), z=_f(meta.z),
+                    ebv=_f(meta.ebv), target=meta.target,
+                    spec_type=meta.spec_type)
+
+
+def extract_v34a_bundle_sharded(
+    mesh, packed: PackedLightcurves, meta: Metadata,
+    gp_steps: int = 100,
+) -> Dict[str, FeatureSet]:
+    """All four v34a feature caches with extraction sharded over the mesh.
+
+    Same outputs as ``pipelines.extract_v34a_bundle`` (the single-device,
+    chunked path); here each device extracts its object shard and the
+    host gathers [n] feature columns at the end.
+    """
+    n = packed.n_objects
+    packed_sh = shard_packed(packed, mesh)
+    n_pad = packed_sh.band_time.shape[0]
+    sh = object_sharding(mesh)
+    meta_sh = _pad_meta(meta, n_pad, sharding=sh)
+
+    # GP time-compaction width: global max valid count, rounded to 32
+    af, ae = np.asarray(packed.all_flux), np.asarray(packed.all_err)
+    am = np.asarray(packed.all_mask)
+    counts = (am & np.isfinite(af) & np.isfinite(ae) & (ae > 0)).sum(1)
+    T = packed.all_time.shape[1]
+    tc = min(T, int(np.ceil(max(int(counts.max(initial=1)), 32) / 32) * 32))
+
+    def _trim(fs: FeatureSet) -> FeatureSet:
+        return {k: np.asarray(v)[:n] for k, v in fs.items()}
+
+    features_v4 = merge(
+        statistical.extract(packed_sh, meta_sh),
+        colors.extract(packed_sh, meta_sh),
+        shape.extract(packed_sh),
+        physics.extract(packed_sh, meta_sh),
+        pandas_suffix=True,
+    )
+    return {
+        "features_v4": _trim(features_v4),
+        "tde_physics": _trim(tde.extract(packed_sh)),
+        "multiband_gp": _trim(
+            multiband_gp._extract_chunk(packed_sh, gp_steps, tc)),
+        "bazin": _trim(bazin.extract(packed_sh)),
+    }
+
+
+def run_v92d_pipeline_sharded(
+    mesh,
+    train_packed: PackedLightcurves, train_meta: Metadata,
+    test_packed: PackedLightcurves, test_meta: Metadata,
+    params=None,
+    selection_params=None,
+    gp_steps: int = 100,
+    top_k: int = 120,
+    adv_params=None,
+    verbose: bool = False,
+):
+    """The complete winning pipeline on a mesh: sharded extraction ->
+    selection CV -> v34a assembly -> adversarial validation -> v92d
+    training, every GBDT fold row-sharded with psum'd histograms.
+
+    Mirrors reference train_v92_focal_adversarial.py:232-272 end to end.
+    Returns (V92Result, timings dict).
+    """
+    import time
+
+    from mallorn_tpu.features.base import feature_matrix
+    from mallorn_tpu.train import pipelines
+    from mallorn_tpu.train.adversarial import ADV_PARAMS, adversarial_validation
+    from mallorn_tpu.train.cv import train_cv
+    from mallorn_tpu.train.feature_selection import select_features
+
+    params = params or pipelines.V34A_PARAMS
+    timings = {}
+
+    t0 = time.perf_counter()
+    tr_bundle = extract_v34a_bundle_sharded(mesh, train_packed, train_meta,
+                                            gp_steps)
+    te_bundle = extract_v34a_bundle_sharded(mesh, test_packed, test_meta,
+                                            gp_steps)
+    timings["features_s"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    Xv4, v4_names = feature_matrix(tr_bundle["features_v4"])
+    Xv4 = pipelines._finite_or_nan(Xv4)
+    sel_cv = train_cv(Xv4, train_meta.target, None,
+                      selection_params or params,
+                      pad_features_to=pipelines.PAD_FEATURES,
+                      mesh=mesh, verbose=False)
+    selection = select_features(Xv4, v4_names, sel_cv.importance_gain, top_k)
+    X_tr, names = pipelines.assemble_v34a_matrix(tr_bundle, selection.selected)
+    X_te, _ = pipelines.assemble_v34a_matrix(te_bundle, selection.selected)
+    timings["selection_s"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    out = pipelines.run_v92(
+        X_tr, train_meta.target, names, X_te, params=params,
+        variants={"v92d_baseline_adv": {"gamma": 0.0,
+                                        "use_scale_pos_weight": True}},
+        adv_params=adv_params, mesh=mesh, verbose=verbose)
+    timings["train_s"] = time.perf_counter() - t0
+    return out, timings

@@ -73,11 +73,16 @@ def train_gbdt_sharded(mesh: Mesh, X, y, params: GBDTParams,
     """Full distributed GBDT training: rows sharded over the mesh, bin
     edges global, histograms psum'd — every device builds identical trees
     (XGBoost's distributed-hist contract). Returns a GBDTModel identical
-    (up to float reduction order) to single-device training."""
+    (up to float reduction order) to single-device training.
+
+    Row subsampling is keyed by the GLOBAL row id (gbdt._row_subsample_mask)
+    so even subsample < 1 draws the exact same rows as single-device
+    training — the identical-trees contract holds for the full v92d config
+    (subsample=0.8, reference: scripts/train_v34a_bazin.py:141)."""
     import numpy as np
 
     from mallorn_tpu.trees import objectives
-    from mallorn_tpu.trees.binning import fit_bins
+    from mallorn_tpu.trees.binning import apply_bins, fit_bins
     from mallorn_tpu.trees.gbdt import Forest, GBDTModel, _fit_jit
 
     n_dev = mesh.devices.size
@@ -91,28 +96,89 @@ def train_gbdt_sharded(mesh: Mesh, X, y, params: GBDTParams,
     w = w * np.where(np.asarray(y) > 0.5, scale_pos_weight, 1.0)
     wp = np.concatenate([w, np.zeros(n_pad - n, np.float32)])
 
-    bin_spec = fit_bins(Xp[:n], params.n_bins)
-    from mallorn_tpu.trees.binning import apply_bins
+    bin_spec = fit_bins(Xp[:n], params.n_bins, sample_weight=w)
 
     binned = apply_bins(bin_spec, jnp.asarray(Xp))
     keys = jax.random.split(jax.random.PRNGKey(params.seed), params.n_rounds)
+    row_ids = jnp.arange(n_pad, dtype=jnp.int32)
 
-    def local_fit(binned_l, y_l, w_l, keys_l):
-        # subsample forced off: per-shard row draws would break the
-        # identical-trees contract (single-device parity)
-        f, imp, hist = _fit_jit(binned_l, y_l, w_l, binned_l[:1], y_l[:1],
-                                jnp.ones(1, bool), keys_l,
-                                params._replace(seed=0, subsample=1.0),
+    def local_fit(binned_l, y_l, w_l, rid_l, keys_l):
+        f, imp, hist = _fit_jit(binned_l, y_l, w_l, rid_l, binned_l[:1],
+                                y_l[:1], jnp.ones(1, bool), keys_l,
+                                params._replace(seed=0),
                                 objectives.logistic, False, axis)
         return tuple(f), imp, hist
 
     fit = shard_map(
         local_fit, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P()),
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
         out_specs=(tuple([P()] * 5), P(), P()),
         check_rep=False,
     )
-    forest_t, imp, hist = jax.jit(fit)(binned, jnp.asarray(yp), jnp.asarray(wp), keys)
+    forest_t, imp, hist = jax.jit(fit)(binned, jnp.asarray(yp),
+                                       jnp.asarray(wp), row_ids, keys)
     forest = Forest(*forest_t)
     return GBDTModel(forest=forest, bin_spec=bin_spec, params=params,
                      importance_gain=imp, eval_history=hist, best_iteration=-1)
+
+
+def train_gbdt_folds_sharded(
+    mesh: Mesh,
+    folds,  # sequence of dicts: X, y, w(opt), X_val, y_val, spw, seed
+    params: GBDTParams,
+    objective=None,
+    early_stopping_rounds=None,
+    pad_rows_to=None,
+    pad_val_rows_to=None,
+    pad_features_to=None,
+    axis: str = OBJ_AXIS,
+):
+    """All CV folds as ONE vmapped + row-sharded computation.
+
+    The fold axis is vmapped (concurrent folds, one compile) and the row
+    axis of every fold is sharded over the mesh; per-(feature, node, bin)
+    histograms psum over ICI inside the vmap. Because subsampling is keyed
+    by global row ids, the resulting forests are identical to
+    ``train_gbdt_folds`` on one device. Returns [GBDTModel] like
+    ``train_gbdt_folds``.
+    """
+    from mallorn_tpu.trees import objectives
+    from mallorn_tpu.trees.gbdt import (_fit_impl, _models_from_folds,
+                                        _stack_folds)
+
+    if objective is None:
+        objective = objectives.logistic
+
+    n_dev = mesh.devices.size
+
+    def _round_up(x):
+        return ((x + n_dev - 1) // n_dev) * n_dev
+
+    pad_rows_to = _round_up(pad_rows_to or max(len(f["X"]) for f in folds))
+    pad_val_rows_to = _round_up(
+        pad_val_rows_to or max(len(f["X_val"]) for f in folds))
+    arrs, specs, n_feat_real = _stack_folds(
+        folds, params, pad_rows_to, pad_val_rows_to, pad_features_to)
+
+    p0 = params._replace(seed=0)
+
+    def local_fit(b, y_, w_, rid, bv, yv_, vm, ks):
+        def one(b1, y1, w1, r1, bv1, yv1, vm1, k1):
+            f, imp, hist = _fit_impl(b1, y1, w1, r1, bv1, yv1, vm1, k1, p0,
+                                     objective, True, axis)
+            return tuple(f), imp, hist  # plain tuple: matches out_specs
+
+        return jax.vmap(one)(b, y_, w_, rid, bv, yv_, vm, ks)
+
+    fit = shard_map(
+        local_fit, mesh=mesh,
+        in_specs=(P(None, axis), P(None, axis), P(None, axis), P(None, axis),
+                  P(None, axis), P(None, axis), P(None, axis), P()),
+        out_specs=((P(), P(), P(), P(), P()), P(), P()),
+        check_rep=False,
+    )
+    forests, imps, hists = jax.jit(fit)(
+        arrs["binned"], arrs["y"], arrs["w"], arrs["row_ids"],
+        arrs["binned_val"], arrs["yv"], arrs["vmask"], arrs["keys"])
+    return _models_from_folds(forests, imps, hists, specs, params,
+                              n_feat_real, early_stopping_rounds)

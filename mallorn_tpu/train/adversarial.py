@@ -16,9 +16,8 @@ from typing import Optional
 
 import numpy as np
 from sklearn.metrics import roc_auc_score
-from sklearn.model_selection import StratifiedKFold
 
-from mallorn_tpu.trees.gbdt import GBDTParams, predict_proba, train_gbdt
+from mallorn_tpu.trees.gbdt import GBDTParams
 
 # reference adversarial classifier config (:122-132)
 ADV_PARAMS = GBDTParams(
@@ -40,20 +39,20 @@ class AdversarialResult:
 def adversarial_validation(X_train: np.ndarray, X_test: np.ndarray,
                            params: GBDTParams = ADV_PARAMS,
                            n_folds: int = 5, seed: int = 42,
-                           early_stopping_rounds: int = 20) -> AdversarialResult:
+                           early_stopping_rounds: int = 20,
+                           mesh=None) -> AdversarialResult:
+    """``mesh``: train the 5 adversarial folds vmapped with their row axis
+    sharded over the mesh (same trees as single-device)."""
+    from mallorn_tpu.train.cv import train_cv
+
     X = np.vstack([X_train, X_test])
     y = np.concatenate([np.zeros(len(X_train)), np.ones(len(X_test))])
 
-    skf = StratifiedKFold(n_splits=n_folds, shuffle=True, random_state=seed)
-    oof = np.zeros(len(y))
-    importance = None
-    for tr, va in skf.split(X, y):
-        model = train_gbdt(X[tr], y[tr], params,
-                           X_val=X[va], y_val=y[va],
-                           early_stopping_rounds=early_stopping_rounds)
-        oof[va] = np.asarray(predict_proba(model, X[va]))
-        imp = np.asarray(model.importance_gain)
-        importance = imp if importance is None else importance + imp
+    cv = train_cv(X, y, None, params, use_scale_pos_weight=False,
+                  n_folds=n_folds, seed=seed,
+                  early_stopping_rounds=early_stopping_rounds, mesh=mesh)
+    oof = cv.oof_preds
+    importance = cv.importance_gain
 
     auc = float(roc_auc_score(y, oof))
     shift = auc >= 0.55  # tiers :171-189; reweight from "moderate" up

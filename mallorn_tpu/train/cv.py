@@ -73,6 +73,7 @@ def train_cv(
     threshold_grid: Optional[np.ndarray] = None,
     pad_features_to: Optional[int] = None,
     batched_folds: bool = True,
+    mesh=None,
     verbose: bool = False,
 ) -> CVResult:
     """Stratified K-fold GBDT training with OOF + averaged test predictions.
@@ -83,6 +84,11 @@ def train_cv(
 
     ``batched_folds``: train all folds as one vmapped computation (one
     compile + one dispatch; folds run concurrently on the chip).
+
+    ``mesh``: a ``jax.sharding.Mesh`` — folds train with their row axis
+    sharded over the mesh and histograms psum'd over ICI, producing the
+    exact same forests as single-device training (global-row-id
+    subsampling keeps even subsample < 1 identical).
     """
     y = np.asarray(y)
     skf = StratifiedKFold(n_splits=n_folds, shuffle=True, random_state=seed)
@@ -109,11 +115,20 @@ def train_cv(
             "X_val": X_train[va], "y_val": y[va],
             "spw": fold_spw(tr), "seed": params.seed,
         } for tr, va in splits]
-        models = train_gbdt_folds(
-            folds, params, objective=objective,
-            early_stopping_rounds=early_stopping_rounds,
-            pad_rows_to=pad_train, pad_val_rows_to=pad_val,
-            pad_features_to=pad_features_to)
+        if mesh is not None:
+            from mallorn_tpu.parallel.sharded_train import train_gbdt_folds_sharded
+
+            models = train_gbdt_folds_sharded(
+                mesh, folds, params, objective=objective,
+                early_stopping_rounds=early_stopping_rounds,
+                pad_rows_to=pad_train, pad_val_rows_to=pad_val,
+                pad_features_to=pad_features_to)
+        else:
+            models = train_gbdt_folds(
+                folds, params, objective=objective,
+                early_stopping_rounds=early_stopping_rounds,
+                pad_rows_to=pad_train, pad_val_rows_to=pad_val,
+                pad_features_to=pad_features_to)
 
     for fold, (tr, va) in enumerate(splits):
         if batched_folds:

@@ -252,11 +252,16 @@ def run_v92(
     params: GBDTParams = V34A_PARAMS,
     variants: Optional[Dict] = None,
     adv: Optional[AdversarialResult] = None,
+    adv_params: Optional[GBDTParams] = None,
+    mesh=None,
     verbose: bool = False,
 ) -> V92Result:
     """The winning pipeline: v34a features minus shift features +
     adversarial weights; 4 objective variants; v92d is the winner
-    (reference: train_v92_focal_adversarial.py)."""
+    (reference: train_v92_focal_adversarial.py).
+
+    ``mesh``: run every GBDT CV (adversarial + variants) with fold rows
+    sharded over the mesh and histograms psum'd over ICI."""
     keep = [i for i, n in enumerate(feature_names) if n not in SHIFT_FEATURES]
     names = [feature_names[i] for i in keep]
     Xtr = _finite_or_nan(np.asarray(X_train)[:, keep])
@@ -269,7 +274,11 @@ def run_v92(
                                     train_adv_preds=np.zeros(len(Xtr)),
                                     importance_gain=np.zeros(Xtr.shape[1]))
         else:
-            adv = adversarial_validation(Xtr, Xte)
+            from mallorn_tpu.train.adversarial import ADV_PARAMS
+
+            adv = adversarial_validation(Xtr, Xte,
+                                         params=adv_params or ADV_PARAMS,
+                                         mesh=mesh)
 
     results: Dict[str, CVResult] = {}
     for name, cfg in (variants or V92_VARIANTS).items():
@@ -282,14 +291,14 @@ def run_v92(
                           objective=obj, sigmoid_outputs=True,
                           threshold_grid=np.linspace(0.05, 0.5, 200),
                           pad_features_to=PAD_FEATURES,
-                          verbose=verbose)
+                          mesh=mesh, verbose=verbose)
         else:
             cv = train_cv(Xtr, y, Xte, params,
                           sample_weight=adv.sample_weights,
                           use_scale_pos_weight=cfg.get("use_scale_pos_weight", False),
                           threshold_grid=np.linspace(0.05, 0.5, 200),
                           pad_features_to=PAD_FEATURES,
-                          verbose=verbose)
+                          mesh=mesh, verbose=verbose)
         results[name] = cv
         if verbose:
             print(f"   {name}: OOF F1={cv.best_f1:.4f} @ {cv.best_threshold:.3f}",

@@ -13,7 +13,7 @@ wherever the matrix lives.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,25 +29,37 @@ class BinSpec(NamedTuple):
         return self.n_bins
 
 
-def fit_bins(X: np.ndarray, n_bins: int = 256) -> BinSpec:
+def fit_bins(X: np.ndarray, n_bins: int = 256,
+             sample_weight: Optional[np.ndarray] = None) -> BinSpec:
     """Per-feature quantile edges from finite values.
 
     ±inf is clamped to ±1e10 first, mirroring the reference's
     ``np.nan_to_num(posinf=1e10, neginf=-1e10)`` preprocessing
     (reference: non_successful_tests/scripts/train_v92_focal_adversarial.py:102).
+
+    With a non-uniform ``sample_weight``, edges come from *weighted*
+    quantiles (inverted weighted CDF) — the analog of XGBoost's weighted
+    quantile sketch, which the winning v92d config depends on because it
+    trains under non-uniform adversarial weights
+    (reference: train_v92_focal_adversarial.py:241).
     """
     X = np.asarray(X, dtype=np.float64)
     X = np.clip(X, -1e10, 1e10)
     n, f = X.shape
     qs = np.linspace(0, 1, n_bins + 1)[1:-1]
 
-    # one vectorized NaN-aware quantile call for every feature at once
-    with np.errstate(all="ignore"):
-        import warnings
+    weighted = (sample_weight is not None
+                and not np.allclose(sample_weight, sample_weight.flat[0]))
+    if weighted:
+        q = _weighted_quantiles(X, np.asarray(sample_weight, np.float64), qs)
+    else:
+        # one vectorized NaN-aware quantile call for every feature at once
+        with np.errstate(all="ignore"):
+            import warnings
 
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore")
-            q = np.nanquantile(X, qs, axis=0).T  # [F, n_bins-1]
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                q = np.nanquantile(X, qs, axis=0).T  # [F, n_bins-1]
 
     edges = np.full((f, n_bins - 1), np.inf, dtype=np.float32)
     all_nan = np.isnan(q).all(axis=1)
@@ -57,6 +69,37 @@ def fit_bins(X: np.ndarray, n_bins: int = 256) -> BinSpec:
     # features with no finite values: all rows route to the missing bin
     edges[all_nan] = np.arange(n_bins - 1, dtype=np.float32)
     return BinSpec(edges=jnp.asarray(edges), n_bins=n_bins)
+
+
+def _weighted_quantiles(X: np.ndarray, w: np.ndarray,
+                        qs: np.ndarray) -> np.ndarray:
+    """Weighted quantiles per feature (inverted CDF over finite rows).
+
+    Fully vectorized over features: rows are sorted per column, NaNs sort
+    to the end with zero weight, and each quantile q picks the first value
+    whose cumulative weight reaches q * (total finite weight).
+    Returns [F, len(qs)].
+    """
+    n, f = X.shape
+    order = np.argsort(X, axis=0, kind="stable")  # NaNs sort last
+    Xs = np.take_along_axis(X, order, axis=0)  # [n, F] sorted per column
+    Ws = np.take_along_axis(np.broadcast_to(w[:, None], (n, f)), order, axis=0)
+    Ws = np.where(np.isnan(Xs), 0.0, Ws)
+    cw = np.cumsum(Ws, axis=0)  # [n, F]
+    tot = cw[-1]  # [F]
+    out = np.full((f, len(qs)), np.nan)
+    ok = tot > 0
+    if not ok.any():
+        return out
+    targets = qs[None, :] * tot[:, None]  # [F, Q]
+    # searchsorted per column on the cumulative weights
+    for j in np.nonzero(ok)[0]:
+        idx = np.searchsorted(cw[:, j], targets[j], side="left")
+        nf = int(np.sum(~np.isnan(Xs[:, j])))
+        if nf == 0:
+            continue
+        out[j] = Xs[np.clip(idx, 0, nf - 1), j]
+    return out
 
 
 @jax.jit

@@ -98,6 +98,19 @@ def _psum(x, axis_name):
     return jax.lax.psum(x, axis_name) if axis_name else x
 
 
+def _row_subsample_mask(key, row_ids, rate):
+    """Per-row Bernoulli keyed by the GLOBAL row id.
+
+    The draw for a row depends only on (round key, row id) — independent
+    of sharding, padding or layout — so distributed training builds
+    EXACTLY the single-device trees even at subsample < 1 (the numeric
+    contract of XGBoost's distributed hist algorithm, SURVEY.md §2.2).
+    """
+    keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, row_ids)
+    u = jax.vmap(lambda k: jax.random.uniform(k, ()))(keys)
+    return u < rate
+
+
 def _build_level_hist(binned_T, grad, hess, local_node, in_level, n_nodes, n_bins_tot,
                       axis_name, use_pallas=False):
     """Histograms [F, n_nodes, n_bins_tot, 2] of (grad, hess) sums.
@@ -297,14 +310,18 @@ def train_gbdt(
         if X_val is not None:
             X_val = _padf(X_val)
 
-    if bin_spec is None:
-        bin_spec = fit_bins(np.asarray(X_train), params.n_bins)
-
     n_real = len(X_train)
-    binned = apply_bins(bin_spec, jnp.asarray(X_train, jnp.float32))
     y = jnp.asarray(y_train, jnp.float32)
     w = jnp.ones_like(y) if sample_weight is None else jnp.asarray(sample_weight, jnp.float32)
     w = w * jnp.where(y > 0.5, scale_pos_weight, 1.0)
+
+    if bin_spec is None:
+        # weight-aware quantile sketch (XGBoost semantics: non-uniform
+        # sample weights shift the bin edges)
+        bin_spec = fit_bins(np.asarray(X_train), params.n_bins,
+                            sample_weight=np.asarray(w))
+
+    binned = apply_bins(bin_spec, jnp.asarray(X_train, jnp.float32))
     if pad_rows_to is not None and pad_rows_to > n_real:
         extra = pad_rows_to - n_real
         binned = jnp.concatenate([binned, jnp.zeros((extra, binned.shape[1]), binned.dtype)])
@@ -331,11 +348,12 @@ def train_gbdt(
     # PRNG keys are a traced argument: changing the seed (e.g. the v104
     # seed ensemble) must NOT trigger a recompile of the boosting scan.
     keys = jax.random.split(jax.random.PRNGKey(params.seed), params.n_rounds)
+    row_ids = jnp.arange(binned.shape[0], dtype=jnp.int32)
     # normalize the seed inside the static config so seed changes hit the
     # same compiled executable
     forest, imp, hist = _fit_jit(
-        binned, y, w, binned_val, yv, vmask, keys, params._replace(seed=0),
-        objective, has_val, axis_name)
+        binned, y, w, row_ids, binned_val, yv, vmask, keys,
+        params._replace(seed=0), objective, has_val, axis_name)
 
     best_it = -1
     if has_val:
@@ -358,8 +376,8 @@ def train_gbdt(
                      best_iteration=best_it)
 
 
-def _fit_impl(binned, y, w, binned_val, yv, vmask, keys, params: GBDTParams,
-              objective, has_val: bool, axis_name):
+def _fit_impl(binned, y, w, row_ids, binned_val, yv, vmask, keys,
+              params: GBDTParams, objective, has_val: bool, axis_name):
     n, n_f = binned.shape
     depth = params.max_depth
     missing_id = params.n_bins
@@ -373,10 +391,7 @@ def _fit_impl(binned, y, w, binned_val, yv, vmask, keys, params: GBDTParams,
 
         grad, hess = objective(margin, y, w)
         if params.subsample < 1.0:
-            # per-row Bernoulli; under a mesh each shard draws its own rows
-            if axis_name:
-                k_sub = jax.random.fold_in(k_sub, jax.lax.axis_index(axis_name))
-            m = jax.random.uniform(k_sub, (n,)) < params.subsample
+            m = _row_subsample_mask(k_sub, row_ids, params.subsample)
             grad = jnp.where(m, grad, 0.0)
             hess = jnp.where(m, hess, 0.0)
 
@@ -408,9 +423,9 @@ def _fit_impl(binned, y, w, binned_val, yv, vmask, keys, params: GBDTParams,
         return (margin, margin_val), (tree, gains, metric)
 
     if params.dart_rate > 0.0:
-        return _fit_dart(binned, binned_T, y, w, binned_val, yv, vmask, params,
-                         objective, has_val, axis_name, keys, k_cols, n_f,
-                         depth, missing_id)
+        return _fit_dart(binned, binned_T, y, w, row_ids, binned_val, yv,
+                         vmask, params, objective, has_val, axis_name, keys,
+                         k_cols, n_f, depth, missing_id)
 
     init = (jnp.zeros(n, jnp.float32), jnp.zeros(binned_val.shape[0], jnp.float32))
     _, (trees, gains, metrics) = jax.lax.scan(round_step, init, keys)
@@ -420,8 +435,9 @@ def _fit_impl(binned, y, w, binned_val, yv, vmask, keys, params: GBDTParams,
     return forest, jnp.sum(gains, axis=0), metrics
 
 
-def _fit_dart(binned, binned_T, y, w, binned_val, yv, vmask, params, objective,
-              has_val, axis_name, keys, k_cols, n_f, depth, missing_id):
+def _fit_dart(binned, binned_T, y, w, row_ids, binned_val, yv, vmask, params,
+              objective, has_val, axis_name, keys, k_cols, n_f, depth,
+              missing_id):
     """DART boosting: per-tree contribution matrices + a running scale
     vector; margins are scale-weighted sums over trees."""
     R = params.n_rounds
@@ -441,9 +457,7 @@ def _fit_dart(binned, binned_T, y, w, binned_val, yv, vmask, params, objective,
 
         grad, hess = objective(margin, y, w)
         if params.subsample < 1.0:
-            if axis_name:
-                k_sub = jax.random.fold_in(k_sub, jax.lax.axis_index(axis_name))
-            m = jax.random.uniform(k_sub, (n,)) < params.subsample
+            m = _row_subsample_mask(k_sub, row_ids, params.subsample)
             grad = jnp.where(m, grad, 0.0)
             hess = jnp.where(m, hess, 0.0)
         if params.colsample_bytree < 1.0:
@@ -489,6 +503,75 @@ def _fit_dart(binned, binned_T, y, w, binned_val, yv, vmask, params, objective,
     return forest, jnp.sum(gains, axis=0), metrics
 
 
+def _stack_folds(folds, params: GBDTParams, pad_rows_to, pad_val_rows_to,
+                 pad_features_to):
+    """Pad every fold to shared shapes and stack on a leading fold axis.
+
+    Returns (arrs dict incl. row_ids, bin specs, n_feat_real)."""
+    stacks = {k: [] for k in ("binned", "y", "w", "binned_val", "yv", "vmask", "keys")}
+    specs = []
+    for f in folds:
+        X, y_f = np.asarray(f["X"], np.float32), np.asarray(f["y"], np.float32)
+        Xv, yv_f = np.asarray(f["X_val"], np.float32), np.asarray(f["y_val"], np.float32)
+        if pad_features_to and pad_features_to > X.shape[1]:
+            ext = pad_features_to - X.shape[1]
+            X = np.concatenate([X, np.full((len(X), ext), np.nan, np.float32)], 1)
+            Xv = np.concatenate([Xv, np.full((len(Xv), ext), np.nan, np.float32)], 1)
+        w = f.get("w")
+        w = np.ones(len(y_f), np.float32) if w is None else np.asarray(w, np.float32)
+        w = w * np.where(y_f > 0.5, f.get("spw", 1.0), 1.0)
+
+        spec = fit_bins(X, params.n_bins, sample_weight=w)
+        specs.append(spec)
+
+        binned = np.asarray(apply_bins(spec, jnp.asarray(X)))
+        binned_val = np.asarray(apply_bins(spec, jnp.asarray(Xv)))
+
+        er, ev = pad_rows_to - len(X), pad_val_rows_to - len(Xv)
+        stacks["binned"].append(np.concatenate(
+            [binned, np.zeros((er, binned.shape[1]), binned.dtype)]))
+        stacks["y"].append(np.concatenate([y_f, np.zeros(er, np.float32)]))
+        stacks["w"].append(np.concatenate([w, np.zeros(er, np.float32)]))
+        stacks["binned_val"].append(np.concatenate(
+            [binned_val, np.zeros((ev, binned_val.shape[1]), binned_val.dtype)]))
+        stacks["yv"].append(np.concatenate([yv_f, np.zeros(ev, np.float32)]))
+        stacks["vmask"].append(np.concatenate(
+            [np.ones(len(Xv), bool), np.zeros(ev, bool)]))
+        stacks["keys"].append(np.asarray(jax.random.split(
+            jax.random.PRNGKey(f.get("seed", params.seed)), params.n_rounds)))
+
+    arrs = {k: jnp.asarray(np.stack(v)) for k, v in stacks.items()}
+    arrs["row_ids"] = jnp.broadcast_to(
+        jnp.arange(pad_rows_to, dtype=jnp.int32), (len(folds), pad_rows_to))
+    n_feat_real = np.asarray(folds[0]["X"], np.float32).shape[1]
+    return arrs, specs, n_feat_real
+
+
+def _models_from_folds(forests, imps, hists, specs, params, n_feat_real,
+                       early_stopping_rounds):
+    models = []
+    h_all = np.asarray(hists)
+    for i in range(len(specs)):
+        best_it = -1
+        h = h_all[i]
+        if early_stopping_rounds:
+            best, best_i = np.inf, 0
+            for j, v in enumerate(h):
+                if v < best:
+                    best, best_i = v, j
+                elif j - best_i >= early_stopping_rounds:
+                    break
+            best_it = best_i
+        else:
+            best_it = int(np.argmin(h))
+        forest_i = Forest(*[a[i] for a in forests])
+        models.append(GBDTModel(
+            forest=forest_i, bin_spec=specs[i], params=params,
+            importance_gain=imps[i][:n_feat_real], eval_history=hists[i],
+            best_iteration=best_it))
+    return models
+
+
 def train_gbdt_folds(
     folds,  # sequence of dicts: X, y, w(opt), X_val, y_val, spw
     params: GBDTParams,
@@ -509,74 +592,20 @@ def train_gbdt_folds(
     if objective is None:
         objective = objectives.logistic
 
-    n_folds = len(folds)
     pad_rows_to = pad_rows_to or max(len(f["X"]) for f in folds)
     pad_val_rows_to = pad_val_rows_to or max(len(f["X_val"]) for f in folds)
-
-    stacks = {k: [] for k in ("binned", "y", "w", "binned_val", "yv", "vmask", "keys")}
-    specs = []
-    for f in folds:
-        X, y_f = np.asarray(f["X"], np.float32), np.asarray(f["y"], np.float32)
-        Xv, yv_f = np.asarray(f["X_val"], np.float32), np.asarray(f["y_val"], np.float32)
-        if pad_features_to and pad_features_to > X.shape[1]:
-            ext = pad_features_to - X.shape[1]
-            X = np.concatenate([X, np.full((len(X), ext), np.nan, np.float32)], 1)
-            Xv = np.concatenate([Xv, np.full((len(Xv), ext), np.nan, np.float32)], 1)
-        spec = fit_bins(X, params.n_bins)
-        specs.append(spec)
-
-        w = f.get("w")
-        w = np.ones(len(y_f), np.float32) if w is None else np.asarray(w, np.float32)
-        w = w * np.where(y_f > 0.5, f.get("spw", 1.0), 1.0)
-
-        binned = np.asarray(apply_bins(spec, jnp.asarray(X)))
-        binned_val = np.asarray(apply_bins(spec, jnp.asarray(Xv)))
-
-        er, ev = pad_rows_to - len(X), pad_val_rows_to - len(Xv)
-        stacks["binned"].append(np.concatenate(
-            [binned, np.zeros((er, binned.shape[1]), binned.dtype)]))
-        stacks["y"].append(np.concatenate([y_f, np.zeros(er, np.float32)]))
-        stacks["w"].append(np.concatenate([w, np.zeros(er, np.float32)]))
-        stacks["binned_val"].append(np.concatenate(
-            [binned_val, np.zeros((ev, binned_val.shape[1]), binned_val.dtype)]))
-        stacks["yv"].append(np.concatenate([yv_f, np.zeros(ev, np.float32)]))
-        stacks["vmask"].append(np.concatenate(
-            [np.ones(len(Xv), bool), np.zeros(ev, bool)]))
-        stacks["keys"].append(np.asarray(jax.random.split(
-            jax.random.PRNGKey(f.get("seed", params.seed)), params.n_rounds)))
-
-    arrs = {k: jnp.asarray(np.stack(v)) for k, v in stacks.items()}
+    arrs, specs, n_feat_real = _stack_folds(
+        folds, params, pad_rows_to, pad_val_rows_to, pad_features_to)
 
     fit_v = _folds_executable(params._replace(seed=0), objective, True, None)
     forests, imps, hists = fit_v(arrs["binned"], arrs["y"], arrs["w"],
-                                 arrs["binned_val"], arrs["yv"],
-                                 arrs["vmask"], arrs["keys"])
-
-    n_feat_real = np.asarray(folds[0]["X"], np.float32).shape[1]
-    models = []
-    h_all = np.asarray(hists)
-    for i in range(n_folds):
-        best_it = -1
-        h = h_all[i]
-        if early_stopping_rounds:
-            best, best_i, stop = np.inf, 0, len(h)
-            for j, v in enumerate(h):
-                if v < best:
-                    best, best_i = v, j
-                elif j - best_i >= early_stopping_rounds:
-                    break
-            best_it = best_i
-        else:
-            best_it = int(np.argmin(h))
-        forest_i = Forest(*[a[i] for a in forests])
-        models.append(GBDTModel(
-            forest=forest_i, bin_spec=specs[i], params=params,
-            importance_gain=imps[i][:n_feat_real], eval_history=hists[i],
-            best_iteration=best_it))
-    return models
+                                 arrs["row_ids"], arrs["binned_val"],
+                                 arrs["yv"], arrs["vmask"], arrs["keys"])
+    return _models_from_folds(forests, imps, hists, specs, params,
+                              n_feat_real, early_stopping_rounds)
 
 
-_fit_jit = functools.partial(jax.jit, static_argnums=(7, 8, 9, 10))(_fit_impl)
+_fit_jit = functools.partial(jax.jit, static_argnums=(8, 9, 10, 11))(_fit_impl)
 
 
 @functools.lru_cache(maxsize=None)
@@ -587,8 +616,8 @@ def _folds_executable(params: GBDTParams, objective, has_val: bool, axis_name):
     call would re-trace (and off the jit cache, re-compile) every time —
     e.g. once per seed in the v104 ensemble."""
 
-    def one(b, y_, w_, bv, yv_, vm, ks):
-        return _fit_impl(b, y_, w_, bv, yv_, vm, ks, params, objective,
+    def one(b, y_, w_, rid, bv, yv_, vm, ks):
+        return _fit_impl(b, y_, w_, rid, bv, yv_, vm, ks, params, objective,
                          has_val, axis_name)
 
     return jax.jit(jax.vmap(one))

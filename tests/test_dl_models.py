@@ -30,6 +30,7 @@ def test_sequence_batch_shapes(seq_batch):
     (LSTMClassifier, dict(hidden_dim=16, n_layers=1)),
     (TransformerClassifier, dict(d_model=16, n_layers=1)),
 ])
+@pytest.mark.slow
 def test_model_overfits(seq_batch, model_cls, kwargs):
     model = model_cls(**kwargs)
     res = train_model(model, seq_batch, val_batch=seq_batch,
@@ -39,6 +40,7 @@ def test_model_overfits(seq_batch, model_cls, kwargs):
     assert res.val_f1 > 0.8, res.val_f1  # trivially overfits train=val
 
 
+@pytest.mark.slow
 def test_atat_overfits(seq_batch):
     import jax.numpy as jnp
 

@@ -40,6 +40,7 @@ def test_optimize_blend_beats_components():
     assert f1 >= max(f1_a, f1_b) - 1e-9
 
 
+@pytest.mark.slow
 def test_two_stage_runs():
     rng = np.random.default_rng(3)
     n = 400

@@ -40,6 +40,7 @@ def test_cv_models_roundtrip(tmp_path):
     assert man["feature_names"] == [f"f{i}" for i in range(6)]
 
 
+@pytest.mark.slow
 def test_random_search_improves_or_matches():
     from mallorn_tpu.train.hpo import random_search
 

@@ -2,6 +2,7 @@
 data end-to-end (features -> CV GBDT -> threshold sweep)."""
 
 import numpy as np
+import pytest
 
 from mallorn_tpu.data.synthetic import generate_dataset
 from mallorn_tpu.train.pipelines import run_baseline
@@ -19,6 +20,7 @@ def test_baseline_pipeline_learns():
     assert len(res.feature_names) == 127
 
 
+@pytest.mark.slow
 def test_baseline_pipeline_with_test_split():
     tr_packed, tr_meta, _ = generate_dataset(n_objects=300, seed=1, tde_frac=0.12)
     te_packed, te_meta, _ = generate_dataset(n_objects=150, seed=2, tde_frac=0.12)

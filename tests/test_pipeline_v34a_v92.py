@@ -1,4 +1,8 @@
-"""Integration: v34a backbone + v92 winning pipeline on synthetic data."""
+"""Integration: v34a backbone + v92 winning pipeline on synthetic data.
+
+Slow (full extraction + 3 CV passes); the fast shifted-pipeline contract
+lives in test_shifted_pipeline.py.
+"""
 
 import numpy as np
 import pytest
@@ -6,6 +10,8 @@ import pytest
 from mallorn_tpu.data.synthetic import generate_dataset
 from mallorn_tpu.train import pipelines
 from mallorn_tpu.trees.gbdt import GBDTParams
+
+pytestmark = pytest.mark.slow
 
 FAST = GBDTParams(n_rounds=100, max_depth=5, learning_rate=0.1,
                   subsample=0.8, colsample_bytree=0.8,
@@ -62,7 +68,8 @@ def test_v92_winner(v34a_run):
     assert winner.best_f1 > 0.55, winner.best_f1
     focal = out.variants["v92b_focal_adv_g2_a85"]
     assert np.isfinite(focal.best_f1)
-    assert 0.5 <= out.adversarial.auc <= 1.0
+    # same-distribution splits: AUC ~0.5, can dip below by small-n noise
+    assert 0.3 <= out.adversarial.auc <= 1.0
     # same-distribution synthetic splits: weights may be uniform or mild
     assert out.adversarial.sample_weights.min() >= 0.5
     assert out.adversarial.sample_weights.max() <= 2.0

@@ -22,6 +22,7 @@ def test_research_parity(small_dataset, ref_src):
 
 
 @requires_reference
+@pytest.mark.slow
 def test_v55_powerlaw_r2_quality(small_dataset, ref_src):
     """R^2 features: same guards as scipy pipeline; where both fit, our R^2
     matches or beats scipy's (multi-start LM vs single TRF run)."""
@@ -80,6 +81,7 @@ def test_v55_powerlaw_r2_quality(small_dataset, ref_src):
     assert n_we_match / n_checked > 0.93, (n_we_match, n_checked)
 
 
+@pytest.mark.slow
 def test_powerlaw_feature_names(tiny_dataset):
     from mallorn_tpu.features import powerlaw
 

@@ -43,3 +43,79 @@ def test_sharded_matches_single_device():
     p1 = np.asarray(predict_proba(single, X, 30))
     p2 = np.asarray(predict_proba(sharded, X, 30))
     np.testing.assert_allclose(p1, p2, rtol=5e-4, atol=5e-4)
+
+
+def test_sharded_subsample_matches_single_device():
+    """Global-row-id subsampling: identical trees even at subsample<1 —
+    the full v92d config (subsample 0.8) trains distributed under the
+    identical-trees contract."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from mallorn_tpu.parallel.sharded_train import train_gbdt_sharded
+
+    rng = np.random.default_rng(1)
+    n = 400
+    X = rng.normal(size=(n, 8)).astype(np.float32)
+    y = ((X[:, 0] + 0.5 * X[:, 2] + rng.normal(0, 0.4, n)) > 0).astype(np.float32)
+
+    params = GBDTParams(n_rounds=20, max_depth=4, learning_rate=0.2,
+                        subsample=0.8, colsample_bytree=0.8)
+    single = train_gbdt(X, y, params)
+    sharded = train_gbdt_sharded(make_mesh(8), X, y, params)
+
+    np.testing.assert_array_equal(np.asarray(single.forest.feature),
+                                  np.asarray(sharded.forest.feature))
+    np.testing.assert_array_equal(np.asarray(single.forest.split_bin),
+                                  np.asarray(sharded.forest.split_bin))
+    np.testing.assert_allclose(np.asarray(single.forest.leaf_value),
+                               np.asarray(sharded.forest.leaf_value),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_folds_match_batched_folds():
+    """train_gbdt_folds_sharded (vmapped folds x sharded rows) returns the
+    same forests + eval history as the single-device fold vmap."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from mallorn_tpu.parallel.sharded_train import train_gbdt_folds_sharded
+    from mallorn_tpu.trees.gbdt import train_gbdt_folds
+
+    rng = np.random.default_rng(2)
+    n = 300
+    X = rng.normal(size=(n, 6)).astype(np.float32)
+    y = ((X[:, 0] - X[:, 1] + rng.normal(0, 0.5, n)) > 0).astype(np.float32)
+    w = (rng.exponential(1.0, n) + 0.2).astype(np.float32)
+
+    folds = []
+    for k in range(3):
+        va = np.arange(n) % 3 == k
+        folds.append({"X": X[~va], "y": y[~va], "w": w[~va],
+                      "X_val": X[va], "y_val": y[va], "spw": 2.0})
+
+    params = GBDTParams(n_rounds=15, max_depth=3, learning_rate=0.2,
+                        subsample=0.8, colsample_bytree=0.8)
+    # shared row padding so both paths use identical shapes/row ids
+    pr = ((max(len(f["X"]) for f in folds) + 7) // 8) * 8
+    pv = ((max(len(f["X_val"]) for f in folds) + 7) // 8) * 8
+    ref = train_gbdt_folds(folds, params, early_stopping_rounds=10,
+                           pad_rows_to=pr, pad_val_rows_to=pv)
+    got = train_gbdt_folds_sharded(make_mesh(8), folds, params,
+                                   early_stopping_rounds=10,
+                                   pad_rows_to=pr, pad_val_rows_to=pv)
+    assert len(ref) == len(got)
+    for m_ref, m_got in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(m_ref.forest.feature),
+                                      np.asarray(m_got.forest.feature))
+        np.testing.assert_array_equal(np.asarray(m_ref.forest.split_bin),
+                                      np.asarray(m_got.forest.split_bin))
+        np.testing.assert_allclose(np.asarray(m_ref.forest.leaf_value),
+                                   np.asarray(m_got.forest.leaf_value),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(m_ref.eval_history),
+                                   np.asarray(m_got.eval_history),
+                                   rtol=1e-4, atol=1e-5)
+        assert m_ref.best_iteration == m_got.best_iteration

@@ -1,0 +1,88 @@
+"""Weighted quantile binning: the analog of XGBoost's weighted sketch.
+
+The winning v92d config trains under non-uniform adversarial weights
+(reference: train_v92_focal_adversarial.py:241); XGBoost's hist sketch is
+weight-aware, so ours must be too.
+"""
+
+import numpy as np
+
+from mallorn_tpu.trees import GBDTParams, apply_bins, fit_bins, predict_margin, train_gbdt
+
+
+def _slow_weighted_quantile(col, w, q):
+    """Oracle: inverted weighted CDF on finite values."""
+    fin = np.isfinite(col)
+    v, wt = col[fin], w[fin]
+    order = np.argsort(v, kind="stable")
+    v, wt = v[order], wt[order]
+    cw = np.cumsum(wt)
+    target = q * cw[-1]
+    idx = np.searchsorted(cw, target, side="left")
+    return v[min(idx, len(v) - 1)]
+
+
+def test_weighted_edges_match_slow_oracle():
+    rng = np.random.default_rng(0)
+    n, f, n_bins = 500, 5, 16
+    X = rng.normal(size=(n, f))
+    X[rng.uniform(size=(n, f)) < 0.1] = np.nan
+    w = rng.exponential(1.0, size=n) + 0.1
+
+    spec = fit_bins(X, n_bins, sample_weight=w)
+    edges = np.asarray(spec.edges)
+    qs = np.linspace(0, 1, n_bins + 1)[1:-1]
+    for j in range(f):
+        want = np.unique([_slow_weighted_quantile(X[:, j], w, q) for q in qs])
+        got = edges[j][np.isfinite(edges[j])]
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_uniform_weights_keep_unweighted_path():
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(300, 4))
+    a = fit_bins(X, 32)
+    b = fit_bins(X, 32, sample_weight=np.full(300, 3.7))
+    np.testing.assert_array_equal(np.asarray(a.edges), np.asarray(b.edges))
+
+
+def test_skewed_weights_shift_edges():
+    rng = np.random.default_rng(2)
+    x = np.concatenate([rng.normal(-3, 0.1, 500), rng.normal(3, 0.1, 500)])
+    w = np.concatenate([np.full(500, 1e-3), np.ones(500)])
+    spec_u = fit_bins(x[:, None], 8)
+    spec_w = fit_bins(x[:, None], 8, sample_weight=w)
+    # weighted edges concentrate in the heavy (+3) cluster
+    eu = np.asarray(spec_u.edges)[0]
+    ew = np.asarray(spec_w.edges)[0]
+    assert np.nanmedian(ew[np.isfinite(ew)]) > np.nanmedian(eu[np.isfinite(eu)])
+
+
+def test_gbdt_uses_weighted_sketch_end_to_end():
+    """Trained model must match the oracle fed the *weighted* bin spec."""
+    from tests.oracles.gbdt_oracle import OracleGBDT
+
+    rng = np.random.default_rng(3)
+    n = 300
+    X = rng.normal(size=(n, 6)).astype(np.float32)
+    logit = 1.5 * X[:, 0] - 2.0 * X[:, 1]
+    y = (logit + rng.normal(scale=0.5, size=n) > 0).astype(np.float32)
+    w = (rng.exponential(1.0, size=n) + 0.2).astype(np.float32)
+
+    params = GBDTParams(n_rounds=10, max_depth=3, learning_rate=0.1,
+                        subsample=1.0, colsample_bytree=1.0,
+                        min_child_weight=1.0, reg_alpha=0.0, reg_lambda=1.0,
+                        n_bins=32)
+    model = train_gbdt(X, y, params, sample_weight=w)
+
+    spec = fit_bins(X, 32, sample_weight=w)
+    np.testing.assert_array_equal(np.asarray(model.bin_spec.edges),
+                                  np.asarray(spec.edges))
+    binned = np.asarray(apply_bins(spec, X))
+    oracle = OracleGBDT(n_rounds=10, max_depth=3, learning_rate=0.1,
+                        reg_alpha=0.0, reg_lambda=1.0, min_child_weight=1.0,
+                        n_bins=32)
+    oracle.fit(binned, y.astype(np.float64), w.astype(np.float64))
+    want = oracle.predict_margin(binned)
+    ours = np.asarray(predict_margin(model, X, n_trees=params.n_rounds))
+    np.testing.assert_allclose(ours, want, rtol=2e-3, atol=2e-3)
