@@ -1,0 +1,76 @@
+"""Sharded pipeline == single-device pipeline.
+
+extraction: placing the packed arrays with NamedSharding(P('obj')) and
+letting XLA partition the vmapped kernels must produce the same features
+as the host-chunked single-device path (zero-communication object-batch
+data parallelism, SURVEY.md §2.2).
+"""
+
+import numpy as np
+import pytest
+
+from mallorn_tpu.data.packing import unify_time_padding
+from mallorn_tpu.data.synthetic import generate_competition_splits
+from mallorn_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture(scope="module")
+def splits():
+    (tr_p, tr_m, _), (te_p, te_m, _) = generate_competition_splits(
+        48, 32, seed=21, tde_frac=0.2)
+    tr_p, te_p = unify_time_padding(tr_p, te_p)
+    return tr_p, tr_m, te_p, te_m
+
+
+def test_sharded_extraction_matches_single_device(splits):
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from mallorn_tpu.parallel.pipeline import extract_v34a_bundle_sharded
+    from mallorn_tpu.train.pipelines import extract_v34a_bundle
+
+    tr_p, tr_m, *_ = splits
+    mesh = make_mesh(8)
+    sharded = extract_v34a_bundle_sharded(mesh, tr_p, tr_m, gp_steps=5)
+    single = extract_v34a_bundle(tr_p, tr_m, gp_steps=5)
+
+    for fam in ("features_v4", "tde_physics", "multiband_gp"):
+        assert set(sharded[fam]) == set(single[fam]), fam
+        for k in single[fam]:
+            np.testing.assert_allclose(
+                np.asarray(sharded[fam][k]), np.asarray(single[fam][k]),
+                rtol=2e-4, atol=1e-5, equal_nan=True,
+                err_msg=f"{fam}/{k}")
+
+    # bazin params come from 60 iterations of LM: lanes near a fit
+    # bifurcation can flip under different op fusion/layouts, so the gate
+    # is distribution-level (like the scipy chi2 gates), not per-iterate
+    for k in single["bazin"]:
+        a = np.asarray(sharded["bazin"][k])
+        b = np.asarray(single["bazin"][k])
+        both_nan = np.isnan(a) & np.isnan(b)
+        close = np.isclose(a, b, rtol=1e-3, atol=1e-4) | both_nan
+        assert close.mean() >= 0.85, (k, close.mean())
+
+
+@pytest.mark.slow  # the driver's dryrun_multichip exercises this every round
+def test_v92d_pipeline_runs_on_mesh(splits):
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from mallorn_tpu.parallel.pipeline import run_v92d_pipeline_sharded
+    from mallorn_tpu.train.adversarial import ADV_PARAMS
+    from mallorn_tpu.train.pipelines import V34A_PARAMS
+
+    tr_p, tr_m, te_p, te_m = splits
+    params = V34A_PARAMS._replace(n_rounds=10, max_depth=3)
+    out, _ = run_v92d_pipeline_sharded(
+        mesh=make_mesh(8), train_packed=tr_p, train_meta=tr_m,
+        test_packed=te_p, test_meta=te_m, params=params,
+        selection_params=params, gp_steps=5, top_k=40,
+        adv_params=ADV_PARAMS._replace(n_rounds=8))
+    assert np.isfinite(out.winner.best_f1)
+    assert np.isfinite(out.winner.test_preds).all()
+    assert out.adversarial.sample_weights.min() >= 0.5
