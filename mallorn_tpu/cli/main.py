@@ -7,7 +7,8 @@ declarative interface:
   mallorn extract  --data data/ --cache cache/          feature extraction
   mallorn train    --data data/ --cache cache/ --config v92d
   mallorn predict  --data data/ --cache cache/ --model artifacts/
-Configs: baseline | v34a | v92a..d | v104 | v42 (matching BASELINE.json).
+Configs: baseline | v19 | v34a | v42 | v55 | v60 | v92a..d | v104 |
+v110 | v111 | v115c (BASELINE.json's list plus the LGBM-family runs).
 """
 
 from __future__ import annotations
@@ -126,12 +127,23 @@ def cmd_train(args):
             Xte, _ = _load_matrices(args.cache, "test", ["features_v4"])
         Xtr = np.nan_to_num(Xtr, nan=0.0, posinf=0.0, neginf=0.0)
         Xte = np.nan_to_num(Xte, nan=0.0, posinf=0.0, neginf=0.0) if Xte is not None else None
+        # XGB + leaf-wise LGBM on the same folds, 50/50 test blend at a
+        # fixed 0.5 threshold (reference: train_baseline.py:169-303)
         cv = train_cv(Xtr, y, Xte, pipelines.BASELINE_PARAMS, verbose=True)
-        result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold}
+        lgbm_cv = train_cv(Xtr, y, Xte, pipelines.BASELINE_LGBM_PARAMS,
+                           verbose=True)
+        result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold,
+                  "lgbm_oof_f1": lgbm_cv.best_f1}
         test_preds = cv.test_preds
-        threshold = cv.best_threshold
+        if test_preds is not None:
+            test_preds = 0.5 * cv.test_preds + 0.5 * lgbm_cv.test_preds
+        threshold = 0.5
     else:
-        fams = ["features_v4", "tde_physics", "multiband_gp", "bazin"]
+        # v19 predates the Bazin cache: selected_120 + tde + gp2d only
+        # (reference: scripts/train_v19_multiband_gp.py:64-112)
+        fams = (["features_v4", "tde_physics", "multiband_gp"]
+                if args.config == "v19" else
+                ["features_v4", "tde_physics", "multiband_gp", "bazin"])
         Xv4, v4_names = _load_matrices(args.cache, "train", ["features_v4"])
         Xv4 = pipelines._finite_or_nan(Xv4)
         sel_cv = train_cv(Xv4, y, None, pipelines.V34A_PARAMS._replace(n_rounds=200))
@@ -147,14 +159,35 @@ def cmd_train(args):
             Xte_all, _ = _load_matrices(args.cache, "test", fams)
             Xte = pipelines._finite_or_nan(Xte_all[:, keep])
 
-        if args.config == "v34a":
+        if args.config in ("v34a", "v19"):
             cv = train_cv(Xtr, y, Xte, pipelines.V34A_PARAMS, verbose=True)
             result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold,
                       "n_features": len(names)}
             test_preds, threshold = cv.test_preds, cv.best_threshold
             from mallorn_tpu.io.model_store import save_cv_models
-            save_cv_models(out_dir / "models_v34a", cv.models,
+            save_cv_models(out_dir / f"models_{args.config}", cv.models,
                            cv.best_threshold, names)
+        elif args.config in ("v110", "v111"):
+            # regularized / DART leaf-wise GBM on the v34a feature set
+            # (reference: train_v110_lgbm_regularized.py, train_v111_lgbm_dart.py)
+            params = (pipelines.V110_PARAMS if args.config == "v110"
+                      else pipelines.V111_PARAMS)
+            cv = train_cv(Xtr, y, Xte, params,
+                          pad_features_to=pipelines.PAD_FEATURES, verbose=True)
+            result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold,
+                      "n_features": len(names)}
+            test_preds, threshold = cv.test_preds, cv.best_threshold
+        elif args.config == "v60":
+            # two-stage cautious-AGN-filter classifier
+            # (reference: scripts/train_v60_two_stage.py:1-12)
+            from mallorn_tpu.train.ensembles import two_stage
+
+            out = two_stage(Xtr, y, Xte,
+                            stage1_params=pipelines.V34A_PARAMS,
+                            stage2_params=pipelines.V34A_PARAMS)
+            result = {"oof_f1": out["best_f1"], "threshold": out["threshold"],
+                      "n_filtered": out["n_filtered"]}
+            test_preds, threshold = out["test_preds"], out["threshold"]
         elif args.config.startswith("v92"):
             out = pipelines.run_v92(Xtr, y, names, Xte, verbose=True)
             key = {"v92": "v92d_baseline_adv", "v92d": "v92d_baseline_adv",
@@ -280,8 +313,9 @@ def main(argv=None):
     pt.add_argument("--data", required=True)
     pt.add_argument("--cache", required=True)
     pt.add_argument("--config", default="v92d",
-                    choices=["baseline", "v34a", "v92", "v92a", "v92b", "v92c",
-                             "v92d", "v104", "v42", "v55", "v115c"])
+                    choices=["baseline", "v19", "v34a", "v42", "v55", "v60",
+                             "v92", "v92a", "v92b", "v92c", "v92d", "v104",
+                             "v110", "v111", "v115c"])
     pt.add_argument("--out", default="artifacts")
     pt.set_defaults(fn=cmd_train)
 

@@ -83,7 +83,7 @@ def train_gbdt_sharded(mesh: Mesh, X, y, params: GBDTParams,
 
     from mallorn_tpu.trees import objectives
     from mallorn_tpu.trees.binning import apply_bins, fit_bins
-    from mallorn_tpu.trees.gbdt import Forest, GBDTModel, _fit_jit
+    from mallorn_tpu.trees.gbdt import Forest, GBDTModel, LGForest, _fit_jit
 
     n_dev = mesh.devices.size
     n = len(X)
@@ -109,15 +109,16 @@ def train_gbdt_sharded(mesh: Mesh, X, y, params: GBDTParams,
                                 objectives.logistic, False, axis)
         return tuple(f), imp, hist
 
+    n_tree_arrays = 7 if params.grow_policy == "lossguide" else 5
     fit = shard_map(
         local_fit, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
-        out_specs=(tuple([P()] * 5), P(), P()),
+        out_specs=(tuple([P()] * n_tree_arrays), P(), P()),
         check_rep=False,
     )
     forest_t, imp, hist = jax.jit(fit)(binned, jnp.asarray(yp),
                                        jnp.asarray(wp), row_ids, keys)
-    forest = Forest(*forest_t)
+    forest = (LGForest if len(forest_t) == 7 else Forest)(*forest_t)
     return GBDTModel(forest=forest, bin_spec=bin_spec, params=params,
                      importance_gain=imp, eval_history=hist, best_iteration=-1)
 
@@ -170,11 +171,12 @@ def train_gbdt_folds_sharded(
 
         return jax.vmap(one)(b, y_, w_, rid, bv, yv_, vm, ks)
 
+    n_tree_arrays = 7 if params.grow_policy == "lossguide" else 5
     fit = shard_map(
         local_fit, mesh=mesh,
         in_specs=(P(None, axis), P(None, axis), P(None, axis), P(None, axis),
                   P(None, axis), P(None, axis), P(None, axis), P()),
-        out_specs=((P(), P(), P(), P(), P()), P(), P()),
+        out_specs=(tuple([P()] * n_tree_arrays), P(), P()),
         check_rep=False,
     )
     forests, imps, hists = jax.jit(fit)(

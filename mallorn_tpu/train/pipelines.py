@@ -35,12 +35,35 @@ BASELINE_PARAMS = GBDTParams(
     min_child_weight=1.0, reg_alpha=0.0, reg_lambda=1.0,
 )
 
+# The reference baseline's LightGBM config (reference:
+# scripts/train_baseline.py:182-194): leaf-wise growth (LightGBM default
+# num_leaves=31), depth 6, lr 0.05, 500 rounds.
+BASELINE_LGBM_PARAMS = GBDTParams(
+    n_rounds=500, max_depth=6, learning_rate=0.05,
+    subsample=0.8, colsample_bytree=0.8,
+    min_child_weight=1e-3, reg_alpha=0.0, reg_lambda=0.0,
+    grow_policy="lossguide", max_leaves=31,
+)
+
 # The v21/v34a/v92 config (reference: scripts/train_v34a_bazin.py:134-148).
 V34A_PARAMS = GBDTParams(
     n_rounds=500, max_depth=5, learning_rate=0.025,
     subsample=0.8, colsample_bytree=0.8,
     min_child_weight=3.0, reg_alpha=0.2, reg_lambda=1.5,
 )
+
+# v110 heavily-regularized LightGBM (reference:
+# scripts/train_v110_lgbm_regularized.py:118-139).
+V110_PARAMS = GBDTParams(
+    n_rounds=600, max_depth=4, learning_rate=0.02,
+    subsample=0.5, colsample_bytree=0.4,
+    min_child_weight=1e-3, reg_alpha=5.0, reg_lambda=10.0,
+    grow_policy="lossguide", max_leaves=15,
+)
+
+# v111 LightGBM DART (reference: scripts/train_v111_lgbm_dart.py:114-130:
+# boosting 'dart', drop_rate 0.15 on the v110 shape).
+V111_PARAMS = V110_PARAMS._replace(dart_rate=0.15)
 
 # v92d drops these as train/test-shift-prone
 # (reference: train_v92_focal_adversarial.py:95-96).
@@ -63,6 +86,8 @@ class PipelineResult:
     threshold: float
     test_binary: Optional[np.ndarray]
     timings: Dict[str, float]
+    lgbm_cv: Optional[CVResult] = None  # baseline's second GBM family
+    blend_test_preds: Optional[np.ndarray] = None  # 50/50 XGB+LGBM
 
 
 def _finite_or_nan(X: np.ndarray) -> np.ndarray:
@@ -129,13 +154,17 @@ def run_baseline(
     test_packed: Optional[PackedLightcurves] = None,
     test_meta: Optional[Metadata] = None,
     params: GBDTParams = BASELINE_PARAMS,
+    lgbm_params: Optional[GBDTParams] = BASELINE_LGBM_PARAMS,
     verbose: bool = False,
 ) -> PipelineResult:
     """Statistical features + GBDT — the train_baseline.py equivalent.
 
     Baseline semantics: NaN/inf -> 0 before training (reference:
     train_baseline.py:89); we keep the OOF threshold sweep for the headline
-    number like later versions.
+    number like later versions. Like the reference, a second (leaf-wise /
+    LightGBM-style) GBM trains on the same folds and the test predictions
+    blend 50/50 (reference: train_baseline.py:169-234, 298-303); pass
+    ``lgbm_params=None`` to skip.
     """
     timings: Dict[str, float] = {}
     t0 = time.perf_counter()
@@ -153,15 +182,25 @@ def run_baseline(
     y = train_meta.target
     t0 = time.perf_counter()
     cv = train_cv(X_train, y, X_test, params, verbose=verbose)
+    lgbm_cv = None
+    if lgbm_params is not None:
+        lgbm_cv = train_cv(X_train, y, X_test, lgbm_params, verbose=verbose)
     timings["train_s"] = time.perf_counter() - t0
 
     test_binary = None
+    blend = None
     if cv.test_preds is not None:
-        test_binary = (cv.test_preds > cv.best_threshold).astype(int)
+        blend = cv.test_preds
+        if lgbm_cv is not None and lgbm_cv.test_preds is not None:
+            blend = 0.5 * cv.test_preds + 0.5 * lgbm_cv.test_preds
+        # reference baseline submits the blend at a fixed 0.5 threshold
+        # (train_baseline.py:248-261)
+        test_binary = (blend > 0.5).astype(int)
 
     return PipelineResult(cv=cv, feature_names=names, oof_f1=cv.best_f1,
                           threshold=cv.best_threshold,
-                          test_binary=test_binary, timings=timings)
+                          test_binary=test_binary, timings=timings,
+                          lgbm_cv=lgbm_cv, blend_test_preds=blend)
 
 
 @dataclasses.dataclass

@@ -58,6 +58,13 @@ class GBDTParams(NamedTuple):
     # the surviving ensemble, and renormalizes (new: 1/(k+1), dropped:
     # k/(k+1)). 0 = standard boosting.
     dart_rate: float = 0.0
+    # tree growth: "depthwise" (XGBoost) splits whole levels;
+    # "lossguide" (LightGBM leaf-wise) repeatedly splits the leaf with
+    # the highest gain, up to max_leaves leaves, with max_depth as the
+    # joint depth cap (reference: scripts/train_v110_lgbm_regularized.py:124-125
+    # uses num_leaves=15, max_depth=4).
+    grow_policy: str = "depthwise"
+    max_leaves: int = 31
 
 
 class Forest(NamedTuple):
@@ -69,6 +76,19 @@ class Forest(NamedTuple):
     default_left: jnp.ndarray  # [R, I] bool
     is_leaf: jnp.ndarray  # [R, I] bool (early leaves)
     leaf_value: jnp.ndarray  # [R, H] float32 (eta already applied)
+
+
+class LGForest(NamedTuple):
+    """Stacked leaf-wise (lossguide) trees: explicit child pointers since
+    splits don't form a heap. M = 2*max_leaves - 1 node slots."""
+
+    feature: jnp.ndarray  # [R, M] int32
+    split_bin: jnp.ndarray  # [R, M] int32
+    default_left: jnp.ndarray  # [R, M] bool
+    is_leaf: jnp.ndarray  # [R, M] bool
+    left: jnp.ndarray  # [R, M] int32
+    right: jnp.ndarray  # [R, M] int32
+    leaf_value: jnp.ndarray  # [R, M] float32 (eta applied)
 
 
 class GBDTModel(NamedTuple):
@@ -105,9 +125,19 @@ def _row_subsample_mask(key, row_ids, rate):
     of sharding, padding or layout — so distributed training builds
     EXACTLY the single-device trees even at subsample < 1 (the numeric
     contract of XGBoost's distributed hist algorithm, SURVEY.md §2.2).
+
+    One vectorized murmur3-style integer mix instead of a per-row
+    ``fold_in``/``uniform`` (a vmap of threefry key derivations measurably
+    slows the 500-round boosting scan); statistical quality is ample for
+    Bernoulli row masks.
     """
-    keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, row_ids)
-    u = jax.vmap(lambda k: jax.random.uniform(k, ()))(keys)
+    kd = jnp.asarray(key, jnp.uint32).reshape(-1)
+    x = row_ids.astype(jnp.uint32)
+    x = x * jnp.uint32(0x9E3779B9) + kd[0]
+    x = (x ^ (x >> 16)) * jnp.uint32(0x85EBCA6B)
+    x = (x ^ (x >> 13)) * jnp.uint32(0xC2B2AE35) ^ kd[-1]
+    x = x ^ (x >> 16)
+    u = x.astype(jnp.float32) * jnp.float32(1.0 / 4294967296.0)
     return u < rate
 
 
@@ -140,6 +170,53 @@ def _build_level_hist(binned_T, grad, hess, local_node, in_level, n_nodes, n_bin
     return _psum(hist, axis_name)
 
 
+def _best_splits(hist, col_mask, p: GBDTParams):
+    """Best split per node from [F, K, B+1, 2] histograms.
+
+    Returns (best_gain, best_f, best_b, best_dleft, g_tot, h_tot) — [K]."""
+    n_f = hist.shape[0]
+    missing_id = p.n_bins
+    hg, hh = hist[..., 0], hist[..., 1]  # [F, K, B+1]
+    g_tot = jnp.sum(hg, axis=(0, 2)) / n_f  # per node; same for all f
+    h_tot = jnp.sum(hh, axis=(0, 2)) / n_f
+    # (all features see every row, so summing any single feature's bins
+    # gives the node totals; averaging over F is numerically tidier)
+
+    g_miss = hg[..., missing_id]  # [F, K]
+    h_miss = hh[..., missing_id]
+    cg = jnp.cumsum(hg[..., :missing_id], axis=-1)  # [F, K, B]
+    ch = jnp.cumsum(hh[..., :missing_id], axis=-1)
+
+    parent = _score(g_tot, h_tot, p.reg_alpha, p.reg_lambda)  # [K]
+
+    def split_gain(gl, hl):
+        gr = g_tot[None, :, None] - gl
+        hr = h_tot[None, :, None] - hl
+        gain = 0.5 * (
+            _score(gl, hl, p.reg_alpha, p.reg_lambda)
+            + _score(gr, hr, p.reg_alpha, p.reg_lambda)
+            - parent[None, :, None]
+        )
+        ok = (hl >= p.min_child_weight) & (hr >= p.min_child_weight)
+        return jnp.where(ok & col_mask[:, None, None], gain, -jnp.inf)
+
+    gain_right = split_gain(cg, ch)  # missing goes right
+    gain_left = split_gain(cg + g_miss[..., None], ch + h_miss[..., None])
+
+    gain_fb = jnp.maximum(gain_right, gain_left)  # [F, K, B]
+    dleft_fb = gain_left > gain_right
+
+    n_nodes = hist.shape[1]
+    flat = gain_fb.transpose(1, 0, 2).reshape(n_nodes, -1)  # [K, F*B]
+    best_idx = jnp.argmax(flat, axis=-1)
+    best_gain = jnp.take_along_axis(flat, best_idx[:, None], 1)[:, 0]
+    best_f = (best_idx // missing_id).astype(jnp.int32)
+    best_b = (best_idx % missing_id).astype(jnp.int32)
+    best_dl = dleft_fb.transpose(1, 0, 2).reshape(n_nodes, -1)[
+        jnp.arange(n_nodes), best_idx]
+    return best_gain, best_f, best_b, best_dl, g_tot, h_tot
+
+
 def _train_tree(binned_T, binned, grad, hess, col_mask, p: GBDTParams, axis_name):
     """Build one tree. Returns (tree arrays, per-feature gain, node_assign)."""
     n_f, n = binned_T.shape
@@ -167,43 +244,8 @@ def _train_tree(binned_T, binned, grad, hess, col_mask, p: GBDTParams, axis_name
         hist = _build_level_hist(binned_T, grad, hess, local, in_level,
                                  n_nodes, n_bins_tot, axis_name,
                                  use_pallas=p.use_pallas_hist)
-        hg, hh = hist[..., 0], hist[..., 1]  # [F, L, B+1]
-        g_tot = jnp.sum(hg, axis=(0, 2)) / n_f  # per node; same for all f
-        h_tot = jnp.sum(hh, axis=(0, 2)) / n_f
-        # (all features see every row, so summing any single feature's bins
-        # gives the node totals; averaging over F is numerically tidier)
-
-        g_miss = hg[..., missing_id]  # [F, L]
-        h_miss = hh[..., missing_id]
-        cg = jnp.cumsum(hg[..., :missing_id], axis=-1)  # [F, L, B]
-        ch = jnp.cumsum(hh[..., :missing_id], axis=-1)
-
-        parent = _score(g_tot, h_tot, p.reg_alpha, p.reg_lambda)  # [L]
-
-        def split_gain(gl, hl):
-            gr = g_tot[None, :, None] - gl
-            hr = h_tot[None, :, None] - hl
-            gain = 0.5 * (
-                _score(gl, hl, p.reg_alpha, p.reg_lambda)
-                + _score(gr, hr, p.reg_alpha, p.reg_lambda)
-                - parent[None, :, None]
-            )
-            ok = (hl >= p.min_child_weight) & (hr >= p.min_child_weight)
-            return jnp.where(ok & col_mask[:, None, None], gain, -jnp.inf)
-
-        gain_right = split_gain(cg, ch)  # missing goes right
-        gain_left = split_gain(cg + g_miss[..., None], ch + h_miss[..., None])
-
-        gain_fb = jnp.maximum(gain_right, gain_left)  # [F, L, B]
-        dleft_fb = gain_left > gain_right
-
-        flat = gain_fb.transpose(1, 0, 2).reshape(n_nodes, -1)  # [L, F*B]
-        best_idx = jnp.argmax(flat, axis=-1)
-        best_gain = jnp.take_along_axis(flat, best_idx[:, None], 1)[:, 0]
-        best_f = (best_idx // missing_id).astype(jnp.int32)
-        best_b = (best_idx % missing_id).astype(jnp.int32)
-        best_dl = dleft_fb.transpose(1, 0, 2).reshape(n_nodes, -1)[
-            jnp.arange(n_nodes), best_idx]
+        best_gain, best_f, best_b, best_dl, g_tot, h_tot = _best_splits(
+            hist, col_mask, p)
 
         make_leaf = best_gain <= p.min_split_gain  # covers -inf / empty nodes
         ids = level_start + jnp.arange(n_nodes)
@@ -268,6 +310,128 @@ def _predict_tree(tree, binned, missing_id, depth):
         child = 2 * node + jnp.where(go_left, 1, 2)
         stays = (node >= n_internal) | is_leaf[cn]
         node = jnp.where(stays, node, child)
+    return leaf_value[node]
+
+
+def _train_tree_lossguide(binned_T, binned, grad, hess, col_mask,
+                          p: GBDTParams, axis_name):
+    """Build one LEAF-WISE tree (LightGBM's growth strategy): repeatedly
+    split the leaf with the highest gain until max_leaves, with max_depth
+    as the joint depth cap. Fixed shapes: a scan of max_leaves-1 split
+    steps, each building a 2-child histogram over the rows of the chosen
+    leaf (psum'd under a mesh like the depth-wise path).
+
+    Returns ((feature, split_bin, default_left, is_leaf, left, right,
+    leaf_value), gain_per_feature, node_assign)."""
+    n_f, n = binned_T.shape
+    L = p.max_leaves
+    M = 2 * L - 1
+    n_bins_tot = p.n_bins + 1
+    missing_id = p.n_bins
+    depth_cap = p.max_depth if p.max_depth > 0 else L  # LightGBM: -1 = off
+
+    def root():
+        ones = jnp.ones(n, bool)
+        hist = _build_level_hist(binned_T, grad, hess, jnp.zeros(n, jnp.int32),
+                                 ones, 1, n_bins_tot, axis_name,
+                                 use_pallas=p.use_pallas_hist)
+        return _best_splits(hist, col_mask, p)
+
+    g0, f0, b0, dl0, gt0, ht0 = root()
+
+    state = dict(
+        feature=jnp.zeros(M, jnp.int32),
+        split_bin=jnp.full(M, -1, jnp.int32),
+        default_left=jnp.zeros(M, bool),
+        is_leaf=jnp.ones(M, bool),
+        left=jnp.zeros(M, jnp.int32),
+        right=jnp.zeros(M, jnp.int32),
+        node_g=jnp.zeros(M, jnp.float32).at[0].set(gt0[0]),
+        node_h=jnp.zeros(M, jnp.float32).at[0].set(ht0[0]),
+        depth=jnp.zeros(M, jnp.int32),
+        # best-split cache per leaf; -inf = not splittable / not allocated
+        bg=jnp.full(M, -jnp.inf, jnp.float32).at[0].set(
+            jnp.where(depth_cap > 0, g0[0], -jnp.inf)),
+        bf=jnp.zeros(M, jnp.int32).at[0].set(f0[0]),
+        bb=jnp.zeros(M, jnp.int32).at[0].set(b0[0]),
+        bdl=jnp.zeros(M, bool).at[0].set(dl0[0]),
+        node=jnp.zeros(n, jnp.int32),
+        n_nodes=jnp.asarray(1, jnp.int32),
+        gain_pf=jnp.zeros(n_f, jnp.float32),
+    )
+
+    def split_step(s, _):
+        l = jnp.argmax(s["bg"]).astype(jnp.int32)
+        do = s["bg"][l] > p.min_split_gain
+        li, ri = s["n_nodes"], s["n_nodes"] + 1
+
+        fl, bl, dll = s["bf"][l], s["bb"][l], s["bdl"][l]
+
+        def upd(a, idx, val):
+            return a.at[idx].set(jnp.where(do, val, a[idx]))
+
+        s2 = dict(s)
+        s2["feature"] = upd(s["feature"], l, fl)
+        s2["split_bin"] = upd(s["split_bin"], l, bl)
+        s2["default_left"] = upd(s["default_left"], l, dll)
+        s2["is_leaf"] = upd(s["is_leaf"], l, False)
+        s2["left"] = upd(s["left"], l, li)
+        s2["right"] = upd(s["right"], l, ri)
+        child_depth = s["depth"][l] + 1
+        s2["depth"] = upd(upd(s["depth"], li, child_depth), ri, child_depth)
+        s2["gain_pf"] = s["gain_pf"].at[fl].add(jnp.where(do, s["bg"][l], 0.0))
+
+        # route the chosen leaf's rows
+        at_l = (s["node"] == l) & do
+        bv = binned_T[fl]  # [N]
+        go_left = jnp.where(bv == missing_id, dll, bv <= bl)
+        s2["node"] = jnp.where(at_l, jnp.where(go_left, li, ri), s["node"])
+
+        # child histograms + best splits (2 nodes)
+        local = jnp.where(s2["node"] == ri, 1, 0)
+        in_lvl = at_l
+        hist = _build_level_hist(binned_T, grad, hess, local, in_lvl, 2,
+                                 n_bins_tot, axis_name,
+                                 use_pallas=p.use_pallas_hist)
+        cg, cf, cb, cdl, cgt, cht = _best_splits(hist, col_mask, p)
+        can_split = do & (child_depth < depth_cap)
+        cg = jnp.where(can_split, cg, -jnp.inf)
+
+        s2["node_g"] = upd(upd(s["node_g"], li, cgt[0]), ri, cgt[1])
+        s2["node_h"] = upd(upd(s["node_h"], li, cht[0]), ri, cht[1])
+        bg = s["bg"].at[l].set(jnp.where(do, -jnp.inf, s["bg"][l]))
+        s2["bg"] = bg.at[li].set(cg[0]).at[ri].set(cg[1])
+        s2["bf"] = upd(upd(s["bf"], li, cf[0]), ri, cf[1])
+        s2["bb"] = upd(upd(s["bb"], li, cb[0]), ri, cb[1])
+        s2["bdl"] = upd(upd(s["bdl"], li, cdl[0]), ri, cdl[1])
+        s2["n_nodes"] = s["n_nodes"] + jnp.where(do, 2, 0)
+        return s2, None
+
+    state, _ = jax.lax.scan(split_step, state, None, length=L - 1)
+
+    allocated = jnp.arange(M) < state["n_nodes"]
+    lv = _leaf_weight(state["node_g"], state["node_h"],
+                      p.reg_alpha, p.reg_lambda, p.learning_rate)
+    leaf_value = jnp.where(state["is_leaf"] & allocated
+                           & (state["node_h"] > 0), lv, 0.0)
+
+    tree = (state["feature"], state["split_bin"], state["default_left"],
+            state["is_leaf"], state["left"], state["right"], leaf_value)
+    return tree, state["gain_pf"], state["node"]
+
+
+def _predict_tree_lossguide(tree, binned, missing_id, n_steps):
+    """Leaf value per row for one lossguide tree (pointer chasing)."""
+    feature, split_bin, default_left, is_leaf, left, right, leaf_value = tree
+    n = binned.shape[0]
+    node = jnp.zeros(n, jnp.int32)
+    for _ in range(n_steps):
+        feat = feature[node]
+        bv = jnp.take_along_axis(binned, feat[:, None], axis=1)[:, 0]
+        is_missing = bv == missing_id
+        go_left = jnp.where(is_missing, default_left[node], bv <= split_bin[node])
+        child = jnp.where(go_left, left[node], right[node])
+        node = jnp.where(is_leaf[node], node, child)
     return leaf_value[node]
 
 
@@ -382,6 +546,9 @@ def _fit_impl(binned, y, w, row_ids, binned_val, yv, vmask, keys,
     depth = params.max_depth
     missing_id = params.n_bins
     binned_T = binned.T  # [F, N]
+    lossguide = params.grow_policy == "lossguide"
+    lg_steps = min(params.max_depth if params.max_depth > 0 else
+                   params.max_leaves, params.max_leaves)
 
     k_cols = max(1, int(round(params.colsample_bytree * n_f)))
 
@@ -401,13 +568,22 @@ def _fit_impl(binned, y, w, row_ids, binned_val, yv, vmask, keys,
         else:
             col_mask = jnp.ones(n_f, bool)
 
-        tree, gains, node_assign = _train_tree(
-            binned_T, binned, grad, hess, col_mask, params, axis_name)
+        if lossguide:
+            tree, gains, node_assign = _train_tree_lossguide(
+                binned_T, binned, grad, hess, col_mask, params, axis_name)
+            leaf_value = tree[6]
+        else:
+            tree, gains, node_assign = _train_tree(
+                binned_T, binned, grad, hess, col_mask, params, axis_name)
+            leaf_value = tree[4]
 
-        leaf_value = tree[4]
         margin = margin + leaf_value[node_assign]
         if has_val:
-            margin_val = margin_val + _predict_tree(tree, binned_val, missing_id, depth + 1)
+            if lossguide:
+                margin_val = margin_val + _predict_tree_lossguide(
+                    tree, binned_val, missing_id, lg_steps)
+            else:
+                margin_val = margin_val + _predict_tree(tree, binned_val, missing_id, depth + 1)
             # weighted global logloss under a mesh
             p = jax.nn.sigmoid(margin_val)
             eps = 1e-16
@@ -430,8 +606,7 @@ def _fit_impl(binned, y, w, row_ids, binned_val, yv, vmask, keys,
     init = (jnp.zeros(n, jnp.float32), jnp.zeros(binned_val.shape[0], jnp.float32))
     _, (trees, gains, metrics) = jax.lax.scan(round_step, init, keys)
 
-    forest = Forest(feature=trees[0], split_bin=trees[1], default_left=trees[2],
-                    is_leaf=trees[3], leaf_value=trees[4])
+    forest = LGForest(*trees) if lossguide else Forest(*trees)
     return forest, jnp.sum(gains, axis=0), metrics
 
 
@@ -443,6 +618,9 @@ def _fit_dart(binned, binned_T, y, w, row_ids, binned_val, yv, vmask, params,
     R = params.n_rounds
     n = binned.shape[0]
     nv = binned_val.shape[0]
+    lossguide = params.grow_policy == "lossguide"
+    lg_steps = min(params.max_depth if params.max_depth > 0 else
+                   params.max_leaves, params.max_leaves)
 
     def round_step(carry, inp):
         c_train, c_val, scale, r = carry
@@ -466,17 +644,24 @@ def _fit_dart(binned, binned_T, y, w, row_ids, binned_val, yv, vmask, params,
         else:
             col_mask = jnp.ones(n_f, bool)
 
-        tree, gains, node_assign = _train_tree(
-            binned_T, binned, grad, hess, col_mask, params, axis_name)
-        leaf_value = tree[4]
+        if lossguide:
+            tree, gains, node_assign = _train_tree_lossguide(
+                binned_T, binned, grad, hess, col_mask, params, axis_name)
+            leaf_value = tree[6]
+        else:
+            tree, gains, node_assign = _train_tree(
+                binned_T, binned, grad, hess, col_mask, params, axis_name)
+            leaf_value = tree[4]
 
         # DART normalization
         scale = jnp.where(drop, scale * k / (k + 1.0), scale)
         scale = scale.at[r].set(1.0 / (k + 1.0))
         c_train = c_train.at[r].set(leaf_value[node_assign])
         if has_val:
-            c_val = c_val.at[r].set(_predict_tree(tree, binned_val, missing_id,
-                                                  depth + 1))
+            pv = (_predict_tree_lossguide(tree, binned_val, missing_id, lg_steps)
+                  if lossguide else
+                  _predict_tree(tree, binned_val, missing_id, depth + 1))
+            c_val = c_val.at[r].set(pv)
             full_val = scale @ c_val
             p = jax.nn.sigmoid(full_val)
             eps = 1e-16
@@ -497,9 +682,10 @@ def _fit_dart(binned, binned_T, y, w, row_ids, binned_val, yv, vmask, params,
 
     # fold the final scales into the stored leaf values so prediction is
     # a plain scaled-forest sum
-    forest = Forest(feature=trees[0], split_bin=trees[1], default_left=trees[2],
-                    is_leaf=trees[3],
-                    leaf_value=trees[4] * scale[:, None])
+    if lossguide:
+        forest = LGForest(*trees[:6], leaf_value=trees[6] * scale[:, None])
+    else:
+        forest = Forest(*trees[:4], leaf_value=trees[4] * scale[:, None])
     return forest, jnp.sum(gains, axis=0), metrics
 
 
@@ -564,7 +750,8 @@ def _models_from_folds(forests, imps, hists, specs, params, n_feat_real,
             best_it = best_i
         else:
             best_it = int(np.argmin(h))
-        forest_i = Forest(*[a[i] for a in forests])
+        forest_i = (LGForest if len(forests) == 7 else Forest)(
+            *[a[i] for a in forests])
         models.append(GBDTModel(
             forest=forest_i, bin_spec=specs[i], params=params,
             importance_gain=imps[i][:n_feat_real], eval_history=hists[i],
@@ -624,14 +811,18 @@ def _folds_executable(params: GBDTParams, objective, has_val: bool, axis_name):
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
-def _predict_margin_jit(forest: Forest, binned, cfg):
+def _predict_margin_jit(forest, binned, cfg):
     missing_id, depth, n_trees = cfg
+    lossguide = len(forest) == 7
 
     def body(margin, tree):
-        return margin + _predict_tree(tree, binned, missing_id, depth + 1), None
+        if lossguide:
+            v = _predict_tree_lossguide(tree, binned, missing_id, depth)
+        else:
+            v = _predict_tree(tree, binned, missing_id, depth + 1)
+        return margin + v, None
 
-    trees = (forest.feature, forest.split_bin, forest.default_left,
-             forest.is_leaf, forest.leaf_value)
+    trees = tuple(forest)
     if n_trees is not None:
         trees = jax.tree.map(lambda a: a[:n_trees], trees)
     margin, _ = jax.lax.scan(body, jnp.zeros(binned.shape[0], jnp.float32), trees)
@@ -651,7 +842,13 @@ def predict_margin(model: GBDTModel, X: np.ndarray,
             [X, np.full((len(X), f_model - X.shape[1]), np.nan, np.float32)],
             axis=1)
     binned = apply_bins(model.bin_spec, jnp.asarray(X, jnp.float32))
-    cfg = (model.params.n_bins, model.params.max_depth, n_trees)
+    p = model.params
+    if isinstance(model.forest, LGForest):
+        route_depth = min(p.max_depth if p.max_depth > 0 else p.max_leaves,
+                          p.max_leaves)
+    else:
+        route_depth = p.max_depth
+    cfg = (p.n_bins, route_depth, n_trees)
     return _predict_margin_jit(model.forest, binned, cfg)
 
 
