@@ -16,11 +16,18 @@ All progress goes to stderr; stdout carries only the JSON line.
 """
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
 
 import numpy as np
+
+# persistent executable cache: the axon tunnel bypasses JAX's compilation
+# cache, so serialized executables are the only way a fresh process skips
+# the remote compile (utils/aot_cache.py)
+os.environ.setdefault(
+    "MALLORN_AOT_CACHE", str(Path(__file__).parent / ".aot_cache"))
 
 REF_PIPELINE_SECONDS = 900.0
 N_TRAIN, N_TEST = 3054, 7124
@@ -75,6 +82,26 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     log(f"devices: {jax.devices()}")
+
+    # on-device numeric gate for the Pallas histogram kernel (VERDICT r1
+    # weak #5: it had only ever been checked in interpret mode on CPU)
+    if jax.default_backend() != "cpu":
+        import jax.numpy as jnp
+
+        from mallorn_tpu.ops.hist_pallas import build_histograms_pallas
+
+        rng = np.random.default_rng(0)
+        f_chk, n_chk, s_chk = 37, 3000, 1285
+        seg = jnp.asarray(rng.integers(0, s_chk + 40, size=(f_chk, n_chk)),
+                          jnp.int32)  # some ids out of range = inactive
+        gh = jnp.asarray(rng.normal(size=(n_chk, 2)), jnp.float32)
+        got = np.asarray(build_histograms_pallas(seg, gh, s_chk))
+        want = np.stack([np.asarray(
+            jax.ops.segment_sum(gh, s, num_segments=s_chk + 1)[:-1])
+            for s in np.asarray(seg)])
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+        log("pallas histogram kernel vs segment_sum on device: OK")
+
     (tr_packed, tr_meta), (te_packed, te_meta) = get_data()
     from mallorn_tpu.data.packing import unify_time_padding
 

@@ -33,42 +33,16 @@ def extract_learned_embeddings(packed, meta, d_model: int = 32,
                                n_epochs: int = 100, seed: int = 0):
     """Train the in-repo time-series transformer briefly and return pooled
     CLS embeddings as features {emb_0..emb_{d-1}}."""
-    import flax.linen as nn
-    import jax
-    import jax.numpy as jnp
-
     from mallorn_tpu.models.data import make_sequence_batch
     from mallorn_tpu.models.train_dl import train_model
-    from mallorn_tpu.models.transformer import (EncoderBlock,
-                                                TransformerClassifier,
-                                                time_encoding)
+    from mallorn_tpu.models.transformer import TransformerClassifier
 
     batch = make_sequence_batch(packed, meta)
     model = TransformerClassifier(d_model=d_model, n_layers=2)
     res = train_model(model, batch, n_epochs=n_epochs, seed=seed)
 
-    class Embedder(nn.Module):
-        base: TransformerClassifier
-
-        @nn.compact
-        def __call__(self, b):
-            return self.base(b, train=False)
-
-    # pooled CLS representation via a capture of the penultimate layer:
-    # rerun the trunk manually with the trained params
-    def trunk(params, b):
-        # reuse the classifier forward but return the logit-adjacent CLS
-        # representation by probing intermediates
-        _, state = model.apply(params, b, train=False,
-                               capture_intermediates=True)
-        inter = state["intermediates"]
-        # last LayerNorm output before the head
-        for key in reversed(list(inter.keys())):
-            if "LayerNorm" in key:
-                return inter[key]["__call__"][0]
-        raise KeyError("no LayerNorm intermediate found")
-
-    emb = np.asarray(trunk(res.params, batch))
-    if emb.ndim == 3:  # [N, T, D] -> CLS token
-        emb = emb[:, 0]
+    # first-class trunk API: the classifier returns its normalized CLS
+    # representation directly (no intermediate probing)
+    emb = np.asarray(model.apply(res.params, batch, train=False,
+                                 return_embedding=True))
     return {f"emb_{i}": emb[:, i] for i in range(emb.shape[1])}

@@ -51,11 +51,22 @@ def vmap_features(kernel: Callable[..., FeatureSet]):
 
     The kernel's first argument is an ObjectView of one object; any further
     positional args are per-object scalars (e.g. redshift [N]).
+
+    Calls route through the persistent executable cache (utils.aot_cache):
+    with MALLORN_AOT_CACHE set, a fresh process loads the serialized
+    executable instead of re-compiling through the remote-compile tunnel.
     """
+    tag = f"feat_{kernel.__module__.rsplit('.', 1)[-1]}"
+
     @jax.jit
-    def extract(packed: PackedLightcurves, *per_object_args) -> FeatureSet:
+    def _extract(packed: PackedLightcurves, *per_object_args) -> FeatureSet:
         view = object_view(packed)
         return jax.vmap(kernel)(view, *per_object_args)
+
+    def extract(packed: PackedLightcurves, *per_object_args) -> FeatureSet:
+        from mallorn_tpu.utils.aot_cache import call_cached
+
+        return call_cached(_extract, (packed, *per_object_args), tag=tag)
 
     return extract
 

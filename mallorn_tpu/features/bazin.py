@@ -24,6 +24,8 @@ features match the reference exactly:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -152,6 +154,16 @@ def _nanstd_mean_ratio(vals):
 
 
 def extract(packed: PackedLightcurves, meta=None, n_iters: int = 60) -> FeatureSet:
+    """Routes through the persistent executable cache: the 61k-lane LM
+    fit is the single biggest compile in the extraction path."""
+    from mallorn_tpu.utils.aot_cache import call_cached
+
+    return call_cached(_extract_jit, (packed, n_iters), tag="feat_bazin",
+                       static_argnums=(1,))
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _extract_jit(packed: PackedLightcurves, n_iters: int) -> FeatureSet:
     per_band = fit_all_bands(packed, n_iters=n_iters)
 
     feats: FeatureSet = {}

@@ -56,9 +56,11 @@ def extract(packed: PackedLightcurves, meta=None, n_steps: int = 100,
     am = np.asarray(packed.all_mask)
     counts = (am & np.isfinite(af) & np.isfinite(ae) & (ae > 0)).sum(1)
 
+    from mallorn_tpu.utils.aot_cache import call_cached
+
     if n <= chunk_size:
         tc = min(T, int(np.ceil(max(int(counts.max(initial=1)), 32) / 32) * 32))
-        return _extract_chunk(packed, n_steps, tc)
+        return call_cached(_extract_chunk, (packed, n_steps, tc), tag="gp2d", static_argnums=(1, 2))
 
     from mallorn_tpu.data.packing import pad_objects
 
@@ -72,7 +74,7 @@ def extract(packed: PackedLightcurves, meta=None, n_steps: int = 100,
         if len(idx) < chunk_size:
             sub = pad_objects(sub, chunk_size)
         tc = min(T, int(np.ceil(max(int(counts[idx].max()), 32) / 32) * 32))
-        out = _extract_chunk(sub, n_steps, tc)
+        out = call_cached(_extract_chunk, (sub, n_steps, tc), tag="gp2d", static_argnums=(1, 2))
         outs.append({k: v[: len(idx)] for k, v in out.items()})
     cat = {k: jnp.concatenate([o[k] for o in outs]) for k in outs[0]}
     inv = np.argsort(order)  # undo the count sort

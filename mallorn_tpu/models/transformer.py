@@ -53,7 +53,13 @@ class TransformerClassifier(nn.Module):
     max_time: float = 1000.0
 
     @nn.compact
-    def __call__(self, batch: SequenceBatch, train: bool = False):
+    def __call__(self, batch: SequenceBatch, train: bool = False,
+                 return_embedding: bool = False):
+        """``return_embedding=True`` returns the normalized CLS trunk
+        representation [N, d_model] instead of logits — the first-class
+        embedding API (used by features.astromer's native substitute for
+        the reference's pooled pretrained embeddings,
+        src/features/astromer_embeddings.py:32-268)."""
         x = nn.Dense(self.d_model)(batch.features)
         x = nn.LayerNorm()(x)
         x = nn.relu(x)
@@ -73,6 +79,8 @@ class TransformerClassifier(nn.Module):
             x = EncoderBlock(self.d_model, self.n_heads, self.dropout)(x, mask, train)
 
         h = nn.LayerNorm()(x[:, 0])
+        if return_embedding:
+            return h
         h = jnp.concatenate([h, batch.meta], axis=-1)
         h = nn.Dense(self.d_model)(h)
         h = nn.relu(h)

@@ -393,22 +393,63 @@ def run_seed_ensemble(
     params: GBDTParams = V34A_PARAMS,
     sample_weight: Optional[np.ndarray] = None,
     seeds: Sequence[int] = V104_SEEDS,
+    n_folds: int = 5,
+    early_stopping_rounds: int = 50,
     verbose: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, Dict[int, float]]:
     """v104: full 5-fold CV per seed, average OOF/test predictions
-    (reference: train_v104_seed_ensemble.py:129-203)."""
-    oofs, tests, f1s = [], [], {}
+    (reference: train_v104_seed_ensemble.py:129-203).
+
+    All seeds x folds train as ONE vmapped computation (the fold-lane
+    trick extended to a [seeds*folds] axis): 10 seeds cost one compile
+    and one dispatch instead of 10 sequential CV rounds.
+    """
+    from sklearn.model_selection import StratifiedKFold
+
+    from mallorn_tpu.train.cv import threshold_sweep
+    from mallorn_tpu.trees.gbdt import predict_proba, train_gbdt_folds
+
+    y = np.asarray(y)
+    X_train = np.asarray(X_train, np.float32)
+
+    lanes, lane_meta = [], []
     for seed in seeds:
-        cv = train_cv(X_train, y, X_test,
-                      params._replace(seed=seed),
-                      sample_weight=sample_weight, seed=seed,
-                      pad_features_to=PAD_FEATURES)
-        oofs.append(cv.oof_preds)
-        tests.append(cv.test_preds)
-        f1s[seed] = cv.best_f1
+        skf = StratifiedKFold(n_splits=n_folds, shuffle=True, random_state=seed)
+        for tr, va in skf.split(X_train, y):
+            spw = float((y[tr] == 0).sum() / max((y[tr] == 1).sum(), 1))
+            lanes.append({
+                "X": X_train[tr], "y": y[tr],
+                "w": sample_weight[tr] if sample_weight is not None else None,
+                "X_val": X_train[va], "y_val": y[va],
+                "spw": spw, "seed": seed,
+            })
+            lane_meta.append((seed, va))
+
+    models = train_gbdt_folds(
+        lanes, params, early_stopping_rounds=early_stopping_rounds,
+        pad_rows_to=max(len(l["X"]) for l in lanes),
+        pad_val_rows_to=max(len(l["X_val"]) for l in lanes),
+        pad_features_to=PAD_FEATURES)
+
+    oofs, tests, f1s = [], [], {}
+    for si, seed in enumerate(seeds):
+        oof = np.zeros(len(y))
+        test_cols = []
+        for fi in range(n_folds):
+            model = models[si * n_folds + fi]
+            _, va = lane_meta[si * n_folds + fi]
+            oof[va] = np.asarray(predict_proba(model, X_train[va]))
+            if X_test is not None:
+                test_cols.append(np.asarray(predict_proba(model, X_test)))
+        oofs.append(oof)
+        if test_cols:
+            tests.append(np.mean(test_cols, axis=0))
+        f1, _ = threshold_sweep(y, oof)
+        f1s[seed] = f1
         if verbose:
-            print(f"   seed {seed}: OOF F1={cv.best_f1:.4f}", flush=True)
-    return np.mean(oofs, axis=0), np.mean(tests, axis=0), f1s
+            print(f"   seed {seed}: OOF F1={f1:.4f}", flush=True)
+    test_mean = np.mean(tests, axis=0) if tests else None
+    return np.mean(oofs, axis=0), test_mean, f1s
 
 
 def run_pseudo_label(

@@ -515,9 +515,12 @@ def train_gbdt(
     row_ids = jnp.arange(binned.shape[0], dtype=jnp.int32)
     # normalize the seed inside the static config so seed changes hit the
     # same compiled executable
-    forest, imp, hist = _fit_jit(
-        binned, y, w, row_ids, binned_val, yv, vmask, keys,
-        params._replace(seed=0), objective, has_val, axis_name)
+    from mallorn_tpu.utils.aot_cache import call_cached
+
+    forest, imp, hist = call_cached(
+        _fit_jit, (binned, y, w, row_ids, binned_val, yv, vmask, keys,
+                   params._replace(seed=0), objective, has_val, axis_name),
+        tag="gbdt_fit", static_argnums=(8, 9, 10, 11))
 
     best_it = -1
     if has_val:
@@ -784,10 +787,13 @@ def train_gbdt_folds(
     arrs, specs, n_feat_real = _stack_folds(
         folds, params, pad_rows_to, pad_val_rows_to, pad_features_to)
 
+    from mallorn_tpu.utils.aot_cache import call_cached
+
     fit_v = _folds_executable(params._replace(seed=0), objective, True, None)
-    forests, imps, hists = fit_v(arrs["binned"], arrs["y"], arrs["w"],
-                                 arrs["row_ids"], arrs["binned_val"],
-                                 arrs["yv"], arrs["vmask"], arrs["keys"])
+    forests, imps, hists = call_cached(
+        fit_v, (arrs["binned"], arrs["y"], arrs["w"], arrs["row_ids"],
+                arrs["binned_val"], arrs["yv"], arrs["vmask"], arrs["keys"]),
+        tag="gbdt_folds")
     return _models_from_folds(forests, imps, hists, specs, params,
                               n_feat_real, early_stopping_rounds)
 

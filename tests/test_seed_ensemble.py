@@ -1,0 +1,49 @@
+"""v104 seed ensemble: all seeds x folds as one vmapped dispatch
+(reference: non_successful_tests/scripts/train_v104_seed_ensemble.py:129-203)."""
+
+import numpy as np
+
+from mallorn_tpu.train.cv import train_cv
+from mallorn_tpu.train.pipelines import run_seed_ensemble
+from mallorn_tpu.trees.gbdt import GBDTParams
+
+PARAMS = GBDTParams(n_rounds=40, max_depth=3, learning_rate=0.15,
+                    subsample=0.8, colsample_bytree=0.8)
+
+
+def _data(n=360, seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, 10)).astype(np.float32)
+    logit = 1.2 * X[:, 0] - 1.5 * X[:, 1] + X[:, 2]
+    y = (logit + rng.normal(0, 0.6, n) > 0.8).astype(np.float32)
+    Xt = rng.normal(size=(120, 10)).astype(np.float32)
+    return X, y, Xt
+
+
+def test_vmapped_matches_sequential_train_cv():
+    """The [seeds*folds]-lane path must reproduce per-seed sequential
+    train_cv exactly (same splits, same keys, same padding)."""
+    X, y, Xt = _data()
+    seeds = (42, 123)
+
+    oof, test, f1s = run_seed_ensemble(X, y, Xt, PARAMS, seeds=seeds)
+
+    oofs_ref, tests_ref = [], []
+    for seed in seeds:
+        # same global padding the ensemble used across all lanes
+        cv = train_cv(X, y, Xt, PARAMS._replace(seed=seed), seed=seed,
+                      pad_features_to=384)
+        oofs_ref.append(cv.oof_preds)
+        tests_ref.append(cv.test_preds)
+    np.testing.assert_allclose(oof, np.mean(oofs_ref, 0), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(test, np.mean(tests_ref, 0), rtol=1e-4, atol=1e-5)
+
+
+def test_seed_diversity_and_averaging():
+    X, y, Xt = _data(seed=1)
+    seeds = (1, 2, 3)
+    oof, test, f1s = run_seed_ensemble(X, y, Xt, PARAMS, seeds=seeds)
+    assert set(f1s) == set(seeds)
+    assert np.isfinite(list(f1s.values())).all()
+    assert oof.shape == (len(y),) and test.shape == (len(Xt),)
+    assert 0 < oof.mean() < 1
