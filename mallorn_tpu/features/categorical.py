@@ -104,3 +104,73 @@ def add_categorical_features(feats: Features) -> Tuple[Features, List[str]]:
         if src in feats:
             out[name] = fn(np.asarray(feats[src], dtype=np.float64)).astype(np.float32)
     return out, list(out.keys())
+
+
+def ordered_target_encoding(
+    cat_train: np.ndarray,
+    y: np.ndarray,
+    cat_test: np.ndarray = None,
+    n_permutations: int = 4,
+    prior_weight: float = 1.0,
+    seed: int = 42,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """CatBoost's ordered target statistic for one categorical column.
+
+    For a random permutation, each row is encoded using only the target
+    values of SAME-CATEGORY rows that precede it:
+
+        enc_i = (sum_{j<i, cat_j=cat_i} y_j + prior * w) / (count + w)
+
+    averaged over ``n_permutations`` permutations — CatBoost's device for
+    target encoding without target leakage (its 'ordered boosting'
+    statistic; the reference marks CatBoost itself optional, SURVEY §2.1,
+    but this is the algorithmic core worth owning natively). Test rows are
+    encoded with the full-training statistics.
+
+    Returns (enc_train [N], enc_test [M] or None) float32.
+    """
+    rng = np.random.default_rng(seed)
+    cat = np.asarray(cat_train)
+    y = np.asarray(y, np.float64)
+    n = len(cat)
+    prior = float(y.mean()) if n else 0.0
+
+    enc = np.zeros(n, np.float64)
+    for _ in range(n_permutations):
+        perm = rng.permutation(n)
+        # position of each row in the permutation; sort rows by
+        # (category, position) so a shifted per-group cumsum gives the
+        # preceding-rows statistics in O(n log n), no python loop
+        pos = np.empty(n, np.int64)
+        pos[perm] = np.arange(n)
+        order = np.lexsort((pos, cat))
+        yc = y[order]
+        cc = cat[order]
+        csum = np.cumsum(yc) - yc  # exclusive prefix sum
+        cnt = np.arange(n, dtype=np.float64)
+        # subtract the prefix up to the start of each category group
+        grp_start = np.zeros(n, bool)
+        grp_start[0] = True
+        grp_start[1:] = cc[1:] != cc[:-1]
+        start_idx = np.maximum.accumulate(np.where(grp_start, np.arange(n), 0))
+        csum -= (np.cumsum(yc) - yc)[start_idx]
+        cnt -= cnt[start_idx]
+        e = (csum + prior * prior_weight) / (cnt + prior_weight)
+        enc[order] += e
+    enc /= n_permutations
+
+    enc_test = None
+    if cat_test is not None:
+        cat_test = np.asarray(cat_test)
+        sums: Dict = {}
+        cnts: Dict = {}
+        for c in np.unique(cat):
+            m = cat == c
+            sums[c] = y[m].sum()
+            cnts[c] = m.sum()
+        enc_test = np.array([
+            (sums.get(c, 0.0) + prior * prior_weight)
+            / (cnts.get(c, 0) + prior_weight)
+            for c in cat_test])
+    return (enc.astype(np.float32),
+            enc_test.astype(np.float32) if enc_test is not None else None)

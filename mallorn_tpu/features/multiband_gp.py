@@ -114,7 +114,29 @@ def _extract_chunk(packed: PackedLightcurves, n_steps: int,
         gather = lambda a: jnp.take_along_axis(a, perm, axis=1)
         t, lam, y, yerr, use = map(gather, (t, lam, y, yerr, use))
 
-    fit = fit_gp_batched(t, lam, y, yerr, use, n_steps=n_steps)
+    T_COARSE = 64
+    if t_compact > 1.5 * T_COARSE and n_steps >= 30:
+        # two-phase optimization: the O(T^3) Cholesky chain dominates the
+        # pipeline, but hyperparameters of a smooth Matern kernel are
+        # statistically well-determined by an even ~64-point subsample.
+        # Phase 1 runs the full Adam schedule on a STRIDED subset of each
+        # lane's valid points (even time coverage; valid points are
+        # compacted to the front); phase 2 refines at full resolution
+        # from the warm start. Quality is gated by the scipy L-BFGS-B
+        # oracle tests (test_gp_oracle_deep).
+        pos = (jnp.arange(T_COARSE)[None, :]
+               * jnp.maximum(n_use, 1)[:, None]) // T_COARSE  # [N, 64]
+        first = jnp.concatenate(
+            [jnp.ones((n_obj, 1), bool), pos[:, 1:] != pos[:, :-1]], axis=1)
+        gat = lambda a: jnp.take_along_axis(a, pos, axis=1)
+        use_c = gat(use) & first  # dedupe when a lane has < 64 points
+        fit1 = fit_gp_batched(gat(t), gat(lam), gat(y), gat(yerr), use_c,
+                              n_steps=n_steps)
+        fit = fit_gp_batched(t, lam, y, yerr, use,
+                             n_steps=max(n_steps // 6, 8),
+                             lr=0.05, lr_final=0.01, params0=fit1.params)
+    else:
+        fit = fit_gp_batched(t, lam, y, yerr, use, n_steps=n_steps)
     ok = ok & fit.valid
 
     mean_p, log_amp, log_lt2, log_lw2 = (fit.params[:, 0], fit.params[:, 1],

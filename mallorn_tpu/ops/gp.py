@@ -21,7 +21,7 @@ space the reference's features are read from.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -130,22 +130,25 @@ def fit_gp_batched(
     n_steps: int = 100,
     lr: float = 0.5,
     lr_final: float = 0.02,
+    params0: Optional[jnp.ndarray] = None,
 ) -> GPFit:
     """Optimize hyperparameters for every lane with batched Adam.
 
     Init matches the reference (:94-95, 124-135): amp = var(y),
-    metric = [100^2, 6000^2], mean = mean(y).
+    metric = [100^2, 6000^2], mean = mean(y); ``params0`` overrides it
+    (e.g. warm-starting the full-resolution refine from a coarse fit).
     """
-    nvalid = jnp.sum(mask, axis=1)
-    nf = jnp.maximum(nvalid, 1).astype(y.dtype)
-    mu0 = jnp.sum(jnp.where(mask, y, 0.0), 1) / nf
-    var0 = jnp.sum(jnp.where(mask, (y - mu0[:, None]) ** 2, 0.0), 1) / nf
-    params0 = jnp.stack([
-        mu0,
-        jnp.log(jnp.maximum(var0, 1e-8)),
-        jnp.full_like(mu0, 2.0 * jnp.log(init_time_scale)),
-        jnp.full_like(mu0, 2.0 * jnp.log(init_wave_scale)),
-    ], axis=1)
+    if params0 is None:
+        nvalid = jnp.sum(mask, axis=1)
+        nf = jnp.maximum(nvalid, 1).astype(y.dtype)
+        mu0 = jnp.sum(jnp.where(mask, y, 0.0), 1) / nf
+        var0 = jnp.sum(jnp.where(mask, (y - mu0[:, None]) ** 2, 0.0), 1) / nf
+        params0 = jnp.stack([
+            mu0,
+            jnp.log(jnp.maximum(var0, 1e-8)),
+            jnp.full_like(mu0, 2.0 * jnp.log(init_time_scale)),
+            jnp.full_like(mu0, 2.0 * jnp.log(init_wave_scale)),
+        ], axis=1)
 
     dt2 = (t[:, :, None] - t[:, None, :]) ** 2
     dl2 = (lam[:, :, None] - lam[:, None, :]) ** 2

@@ -166,7 +166,8 @@ def train_gbdt_folds_sharded(
     def local_fit(b, y_, w_, rid, bv, yv_, vm, ks):
         def one(b1, y1, w1, r1, bv1, yv1, vm1, k1):
             f, imp, hist = _fit_impl(b1, y1, w1, r1, bv1, yv1, vm1, k1, p0,
-                                     objective, True, axis)
+                                     objective, True, axis,
+                                     int(early_stopping_rounds or 0))
             return tuple(f), imp, hist  # plain tuple: matches out_specs
 
         return jax.vmap(one)(b, y_, w_, rid, bv, yv_, vm, ks)

@@ -519,8 +519,9 @@ def train_gbdt(
 
     forest, imp, hist = call_cached(
         _fit_jit, (binned, y, w, row_ids, binned_val, yv, vmask, keys,
-                   params._replace(seed=0), objective, has_val, axis_name),
-        tag="gbdt_fit", static_argnums=(8, 9, 10, 11))
+                   params._replace(seed=0), objective, has_val, axis_name,
+                   int(early_stopping_rounds or 0)),
+        tag="gbdt_fit", static_argnums=(8, 9, 10, 11, 12))
 
     best_it = -1
     if has_val:
@@ -544,7 +545,8 @@ def train_gbdt(
 
 
 def _fit_impl(binned, y, w, row_ids, binned_val, yv, vmask, keys,
-              params: GBDTParams, objective, has_val: bool, axis_name):
+              params: GBDTParams, objective, has_val: bool, axis_name,
+              early_stop: int = 0):
     n, n_f = binned.shape
     depth = params.max_depth
     missing_id = params.n_bins
@@ -605,6 +607,54 @@ def _fit_impl(binned, y, w, row_ids, binned_val, yv, vmask, keys,
         return _fit_dart(binned, binned_T, y, w, row_ids, binned_val, yv,
                          vmask, params, objective, has_val, axis_name, keys,
                          k_cols, n_f, depth, missing_id)
+
+    if has_val and early_stop > 0:
+        # device-side early stopping: a while_loop that stops `early_stop`
+        # rounds past the best validation logloss, instead of always
+        # paying all n_rounds (XGBoost's early_stopping_rounds semantics;
+        # the scan path cannot stop). Under vmap (batched folds) the loop
+        # runs until EVERY fold has stopped — still a large saving, since
+        # fold stop rounds are correlated. Unexecuted rounds keep +inf
+        # metrics and all-zero trees (inert in prediction).
+        R = params.n_rounds
+        if lossguide:
+            M = 2 * params.max_leaves - 1
+            bufs0 = (jnp.zeros((R, M), jnp.int32), jnp.full((R, M), -1, jnp.int32),
+                     jnp.zeros((R, M), bool), jnp.ones((R, M), bool),
+                     jnp.zeros((R, M), jnp.int32), jnp.zeros((R, M), jnp.int32),
+                     jnp.zeros((R, M), jnp.float32))
+        else:
+            n_int = 2 ** depth - 1
+            n_heap = 2 ** (depth + 1) - 1
+            bufs0 = (jnp.zeros((R, n_int), jnp.int32),
+                     jnp.full((R, n_int), -1, jnp.int32),
+                     jnp.zeros((R, n_int), bool), jnp.zeros((R, n_int), bool),
+                     jnp.zeros((R, n_heap), jnp.float32))
+
+        def cond(state):
+            i, _, _, _, best_i, *_ = state
+            return (i < R) & (i - best_i <= early_stop)
+
+        def body(state):
+            i, margin, margin_val, best_m, best_i, bufs, gain_sum, metrics = state
+            (margin, margin_val), (tree, gains, metric) = round_step(
+                (margin, margin_val), keys[i])
+            bufs = tuple(b.at[i].set(t) for b, t in zip(bufs, tree))
+            metrics = metrics.at[i].set(metric)
+            better = metric < best_m
+            best_m = jnp.minimum(metric, best_m)
+            best_i = jnp.where(better, i, best_i)
+            return (i + 1, margin, margin_val, best_m, best_i, bufs,
+                    gain_sum + gains, metrics)
+
+        state0 = (jnp.asarray(0), jnp.zeros(n, jnp.float32),
+                  jnp.zeros(binned_val.shape[0], jnp.float32),
+                  jnp.asarray(jnp.inf, jnp.float32), jnp.asarray(0),
+                  bufs0, jnp.zeros(n_f, jnp.float32),
+                  jnp.full(R, jnp.inf, jnp.float32))
+        *_, bufs, gain_sum, metrics = jax.lax.while_loop(cond, body, state0)
+        forest = LGForest(*bufs) if lossguide else Forest(*bufs)
+        return forest, gain_sum, metrics
 
     init = (jnp.zeros(n, jnp.float32), jnp.zeros(binned_val.shape[0], jnp.float32))
     _, (trees, gains, metrics) = jax.lax.scan(round_step, init, keys)
@@ -789,7 +839,8 @@ def train_gbdt_folds(
 
     from mallorn_tpu.utils.aot_cache import call_cached
 
-    fit_v = _folds_executable(params._replace(seed=0), objective, True, None)
+    fit_v = _folds_executable(params._replace(seed=0), objective, True, None,
+                              int(early_stopping_rounds or 0))
     forests, imps, hists = call_cached(
         fit_v, (arrs["binned"], arrs["y"], arrs["w"], arrs["row_ids"],
                 arrs["binned_val"], arrs["yv"], arrs["vmask"], arrs["keys"]),
@@ -798,11 +849,12 @@ def train_gbdt_folds(
                               n_feat_real, early_stopping_rounds)
 
 
-_fit_jit = functools.partial(jax.jit, static_argnums=(8, 9, 10, 11))(_fit_impl)
+_fit_jit = functools.partial(jax.jit, static_argnums=(8, 9, 10, 11, 12))(_fit_impl)
 
 
 @functools.lru_cache(maxsize=None)
-def _folds_executable(params: GBDTParams, objective, has_val: bool, axis_name):
+def _folds_executable(params: GBDTParams, objective, has_val: bool, axis_name,
+                      early_stop: int = 0):
     """Cached jitted vmap of the boosting scan over a leading fold axis.
 
     Must be cached by the static config: rebuilding the vmap wrapper per
@@ -811,7 +863,7 @@ def _folds_executable(params: GBDTParams, objective, has_val: bool, axis_name):
 
     def one(b, y_, w_, rid, bv, yv_, vm, ks):
         return _fit_impl(b, y_, w_, rid, bv, yv_, vm, ks, params, objective,
-                         has_val, axis_name)
+                         has_val, axis_name, early_stop)
 
     return jax.jit(jax.vmap(one))
 

@@ -59,11 +59,21 @@ def test_early_stopping_and_history():
                        GBDTParams(n_rounds=200, max_depth=4, learning_rate=0.3),
                        X_val=Xv, y_val=yv, early_stopping_rounds=20)
     h = np.asarray(model.eval_history)
-    assert np.isfinite(h).all()
     assert model.best_iteration >= 0
+    # device-side early stopping: the while_loop stops ~patience rounds
+    # past the best, leaving +inf for unexecuted rounds (and zero trees,
+    # inert in prediction)
+    executed = np.isfinite(h)
+    n_exec = int(executed.sum())
+    assert executed[:n_exec].all(), "executed rounds must be a prefix"
+    assert model.best_iteration + 21 >= n_exec or n_exec == len(h)
+    assert n_exec < len(h), "this config stops well before 200 rounds"
     assert h[model.best_iteration] <= h[0]
     # best under the walk-forward rule is a prefix argmin
     assert h[model.best_iteration] == h[: model.best_iteration + 21].min()
+    # trees beyond the stop are inert zeros
+    lv = np.asarray(model.forest.leaf_value)
+    assert (lv[n_exec:] == 0).all()
 
 
 def test_nan_default_direction_learned():
