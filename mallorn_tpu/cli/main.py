@@ -8,7 +8,8 @@ declarative interface:
   mallorn train    --data data/ --cache cache/ --config v92d
   mallorn predict  --data data/ --cache cache/ --model artifacts/
 Configs: baseline | v19 | v34a | v42 | v55 | v60 | v92a..d | v104 |
-v110 | v111 | v115c (BASELINE.json's list plus the LGBM-family runs).
+v110 | v111 | v115c | v118 | v119 (BASELINE.json's list plus the
+LGBM/CatBoost-family and stacking runs).
 """
 
 from __future__ import annotations
@@ -167,16 +168,36 @@ def cmd_train(args):
             from mallorn_tpu.io.model_store import save_cv_models
             save_cv_models(out_dir / f"models_{args.config}", cv.models,
                            cv.best_threshold, names)
-        elif args.config in ("v110", "v111"):
-            # regularized / DART leaf-wise GBM on the v34a feature set
-            # (reference: train_v110_lgbm_regularized.py, train_v111_lgbm_dart.py)
-            params = (pipelines.V110_PARAMS if args.config == "v110"
-                      else pipelines.V111_PARAMS)
+        elif args.config in ("v110", "v111", "v118"):
+            # regularized leaf-wise / DART / symmetric-tree GBM on the
+            # v34a feature set (reference: train_v110_lgbm_regularized.py,
+            # train_v111_lgbm_dart.py, train_v118_catboost.py)
+            params = {"v110": pipelines.V110_PARAMS,
+                      "v111": pipelines.V111_PARAMS,
+                      "v118": pipelines.V118_PARAMS}[args.config]
             cv = train_cv(Xtr, y, Xte, params,
                           pad_features_to=pipelines.PAD_FEATURES, verbose=True)
             result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold,
                       "n_features": len(names)}
             test_preds, threshold = cv.test_preds, cv.best_threshold
+        elif args.config == "v119":
+            # stacking: XGB + LGBM + CatBoost base CVs -> logistic meta
+            # (reference: scripts/train_v119_stacking.py:33,139-163)
+            from mallorn_tpu.train.ensembles import stack_oof
+
+            bases = {}
+            for nm, p in (("xgb", pipelines.V34A_PARAMS),
+                          ("lgbm", pipelines.V110_PARAMS),
+                          ("cat", pipelines.V118_PARAMS)):
+                bases[nm] = train_cv(Xtr, y, Xte, p,
+                                     pad_features_to=pipelines.PAD_FEATURES)
+                print(f"  base {nm}: OOF F1={bases[nm].best_f1:.4f}")
+            out = stack_oof([b.oof_preds for b in bases.values()], y,
+                            test_preds=([b.test_preds for b in bases.values()]
+                                        if Xte is not None else None))
+            result = {"oof_f1": out["best_f1"], "threshold": out["threshold"],
+                      "base_f1": {k: b.best_f1 for k, b in bases.items()}}
+            test_preds, threshold = out["test_preds"], out["threshold"]
         elif args.config == "v60":
             # two-stage cautious-AGN-filter classifier
             # (reference: scripts/train_v60_two_stage.py:1-12)
@@ -315,7 +336,7 @@ def main(argv=None):
     pt.add_argument("--config", default="v92d",
                     choices=["baseline", "v19", "v34a", "v42", "v55", "v60",
                              "v92", "v92a", "v92b", "v92c", "v92d", "v104",
-                             "v110", "v111", "v115c"])
+                             "v110", "v111", "v115c", "v118", "v119"])
     pt.add_argument("--out", default="artifacts")
     pt.set_defaults(fn=cmd_train)
 

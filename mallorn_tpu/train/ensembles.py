@@ -10,7 +10,10 @@ Mirrors the reference's L4 ensembling scripts (SURVEY.md §2.5):
   reference, BENCHMARKS.md:209-213): grid-searched convex weights
   maximizing OOF F1;
 - two-stage classifier (train_v60): stage-1 filters confident negatives
-  at a high-recall threshold, stage-2 retrains on the survivors.
+  at a high-recall threshold, stage-2 retrains on the survivors;
+- stacking (train_v119): a meta-learner trained on the base models' OOF
+  prediction columns (+ mean/std agreement features), CV'd so the meta
+  predictions are themselves out-of-fold.
 """
 
 from __future__ import annotations
@@ -62,6 +65,69 @@ def optimize_blend_weights(oof_preds: Sequence[np.ndarray], y: np.ndarray,
         if f1 > best[1]:
             best = (np.asarray(w), f1, t)
     return best
+
+
+def _logreg_fit(X: np.ndarray, y: np.ndarray, l2: float = 1.0,
+                n_iter: int = 50) -> np.ndarray:
+    """L2-regularized logistic regression by Newton's method (the
+    reference's LogisticRegression meta-learner,
+    scripts/train_v119_stacking.py:33,143-163). Returns [d+1] weights
+    (bias last). Tiny dense problem — plain NumPy on host."""
+    n, d = X.shape
+    A = np.concatenate([X, np.ones((n, 1))], axis=1)
+    w = np.zeros(d + 1)
+    for _ in range(n_iter):
+        p = 1.0 / (1.0 + np.exp(-np.clip(A @ w, -30, 30)))
+        g = A.T @ (p - y) + l2 * np.r_[w[:-1], 0.0]
+        s = np.maximum(p * (1 - p), 1e-6)
+        H = (A * s[:, None]).T @ A + l2 * np.diag(np.r_[np.ones(d), 0.0])
+        step = np.linalg.solve(H, g)
+        w = w - step
+        if np.abs(step).max() < 1e-10:
+            break
+    return w
+
+
+def _logreg_predict(w: np.ndarray, X: np.ndarray) -> np.ndarray:
+    A = np.concatenate([X, np.ones((len(X), 1))], axis=1)
+    return 1.0 / (1.0 + np.exp(-np.clip(A @ w, -30, 30)))
+
+
+def stack_oof(
+    oof_preds: Sequence[np.ndarray], y: np.ndarray,
+    test_preds: Optional[Sequence[np.ndarray]] = None,
+    n_folds: int = 5, seed: int = 42, l2: float = 1.0,
+    add_agreement_features: bool = True,
+) -> Dict[str, np.ndarray]:
+    """Two-level stacking (train_v119): base-model OOF prediction columns
+    (+ mean/std agreement features, :151-163) feed a logistic-regression
+    meta-learner, itself cross-validated so the returned meta predictions
+    are out-of-fold. Test predictions average the fold meta-models."""
+    from sklearn.model_selection import StratifiedKFold
+
+    X_meta = np.column_stack([np.asarray(p, np.float64) for p in oof_preds])
+    X_test = (np.column_stack([np.asarray(p, np.float64) for p in test_preds])
+              if test_preds is not None else None)
+    if add_agreement_features:
+        X_meta = np.hstack([X_meta, X_meta.mean(1, keepdims=True),
+                            X_meta.std(1, keepdims=True)])
+        if X_test is not None:
+            X_test = np.hstack([X_test, X_test.mean(1, keepdims=True),
+                                X_test.std(1, keepdims=True)])
+
+    y = np.asarray(y, np.float64)
+    skf = StratifiedKFold(n_folds, shuffle=True, random_state=seed)
+    oof = np.zeros(len(y))
+    test_acc = np.zeros(len(X_test)) if X_test is not None else None
+    for tr, va in skf.split(X_meta, y):
+        w = _logreg_fit(X_meta[tr], y[tr], l2=l2)
+        oof[va] = _logreg_predict(w, X_meta[va])
+        if X_test is not None:
+            test_acc += _logreg_predict(w, X_test) / n_folds
+
+    f1, thresh = threshold_sweep(y, oof)
+    return {"oof_preds": oof, "test_preds": test_acc,
+            "best_f1": f1, "threshold": thresh}
 
 
 def two_stage(

@@ -65,6 +65,16 @@ V110_PARAMS = GBDTParams(
 # boosting 'dart', drop_rate 0.15 on the v110 shape).
 V111_PARAMS = V110_PARAMS._replace(dart_rate=0.15)
 
+# v118 CatBoost-for-diversity (reference: scripts/train_v118_catboost.py:5-11)
+# — symmetric (oblivious) trees, CatBoost's defaults-shaped config:
+# depth 5, l2_leaf_reg ~3, no per-tree column sampling (rsm=1).
+V118_PARAMS = GBDTParams(
+    n_rounds=500, max_depth=5, learning_rate=0.03,
+    subsample=0.8, colsample_bytree=1.0,
+    min_child_weight=1e-3, reg_alpha=0.0, reg_lambda=3.0,
+    grow_policy="symmetric",
+)
+
 # v92d drops these as train/test-shift-prone
 # (reference: train_v92_focal_adversarial.py:95-96).
 SHIFT_FEATURES = ("all_rise_time", "all_asymmetry")

@@ -62,7 +62,11 @@ class GBDTParams(NamedTuple):
     # "lossguide" (LightGBM leaf-wise) repeatedly splits the leaf with
     # the highest gain, up to max_leaves leaves, with max_depth as the
     # joint depth cap (reference: scripts/train_v110_lgbm_regularized.py:124-125
-    # uses num_leaves=15, max_depth=4).
+    # uses num_leaves=15, max_depth=4);
+    # "symmetric" (CatBoost oblivious trees, reference v118/v123
+    # scripts/train_v118_catboost.py:5-7): every node of a level shares
+    # ONE (feature, bin, default-direction) split, chosen by the
+    # node-summed gain — the tree is a 2^depth-leaf decision table.
     grow_policy: str = "depthwise"
     max_leaves: int = 31
 
@@ -170,10 +174,16 @@ def _build_level_hist(binned_T, grad, hess, local_node, in_level, n_nodes, n_bin
     return _psum(hist, axis_name)
 
 
-def _best_splits(hist, col_mask, p: GBDTParams):
+def _best_splits(hist, col_mask, p: GBDTParams, symmetric: bool = False):
     """Best split per node from [F, K, B+1, 2] histograms.
 
-    Returns (best_gain, best_f, best_b, best_dleft, g_tot, h_tot) — [K]."""
+    Returns (best_gain, best_f, best_b, best_dleft, g_tot, h_tot) — [K].
+
+    ``symmetric``: CatBoost oblivious mode — ONE (feature, bin, default
+    direction) shared by the whole level, chosen by the node-summed gain
+    (invalid node splits contribute zero); the per-node return values are
+    the shared split replicated, with the gain divided by K so that
+    summing over nodes recovers the level total."""
     n_f = hist.shape[0]
     missing_id = p.n_bins
     hg, hh = hist[..., 0], hist[..., 1]  # [F, K, B+1]
@@ -203,10 +213,28 @@ def _best_splits(hist, col_mask, p: GBDTParams):
     gain_right = split_gain(cg, ch)  # missing goes right
     gain_left = split_gain(cg + g_miss[..., None], ch + h_miss[..., None])
 
+    n_nodes = hist.shape[1]
+    if symmetric:
+        def level_total(g):  # [F, K, B] -> [F, B], invalid nodes add 0
+            return jnp.where(g > 0, g, 0.0).sum(axis=1)
+
+        tot_r, tot_l = level_total(gain_right), level_total(gain_left)
+        tot = jnp.maximum(tot_r, tot_l)  # [F, B]
+        flat = tot.reshape(-1)
+        idx = jnp.argmax(flat)
+        bg = flat[idx] / n_nodes
+        bf = (idx // missing_id).astype(jnp.int32)
+        bb = (idx % missing_id).astype(jnp.int32)
+        bdl = (tot_l > tot_r).reshape(-1)[idx]
+
+        def rep(x):
+            return jnp.broadcast_to(x, (n_nodes,))
+
+        return rep(bg), rep(bf), rep(bb), rep(bdl), g_tot, h_tot
+
     gain_fb = jnp.maximum(gain_right, gain_left)  # [F, K, B]
     dleft_fb = gain_left > gain_right
 
-    n_nodes = hist.shape[1]
     flat = gain_fb.transpose(1, 0, 2).reshape(n_nodes, -1)  # [K, F*B]
     best_idx = jnp.argmax(flat, axis=-1)
     best_gain = jnp.take_along_axis(flat, best_idx[:, None], 1)[:, 0]
@@ -217,8 +245,12 @@ def _best_splits(hist, col_mask, p: GBDTParams):
     return best_gain, best_f, best_b, best_dl, g_tot, h_tot
 
 
-def _train_tree(binned_T, binned, grad, hess, col_mask, p: GBDTParams, axis_name):
-    """Build one tree. Returns (tree arrays, per-feature gain, node_assign)."""
+def _train_tree(binned_T, binned, grad, hess, col_mask, p: GBDTParams, axis_name,
+                symmetric: bool = False):
+    """Build one tree level by level: XGBoost depth-wise growth, or (with
+    ``symmetric``) a CatBoost oblivious tree — same heap layout, but every
+    level shares one split. Returns (tree arrays, per-feature gain,
+    node_assign)."""
     n_f, n = binned_T.shape
     depth = p.max_depth
     n_internal = 2 ** depth - 1
@@ -245,7 +277,7 @@ def _train_tree(binned_T, binned, grad, hess, col_mask, p: GBDTParams, axis_name
                                  n_nodes, n_bins_tot, axis_name,
                                  use_pallas=p.use_pallas_hist)
         best_gain, best_f, best_b, best_dl, g_tot, h_tot = _best_splits(
-            hist, col_mask, p)
+            hist, col_mask, p, symmetric=symmetric)
 
         make_leaf = best_gain <= p.min_split_gain  # covers -inf / empty nodes
         ids = level_start + jnp.arange(n_nodes)
@@ -552,6 +584,7 @@ def _fit_impl(binned, y, w, row_ids, binned_val, yv, vmask, keys,
     missing_id = params.n_bins
     binned_T = binned.T  # [F, N]
     lossguide = params.grow_policy == "lossguide"
+    symmetric = params.grow_policy == "symmetric"
     lg_steps = min(params.max_depth if params.max_depth > 0 else
                    params.max_leaves, params.max_leaves)
 
@@ -579,7 +612,8 @@ def _fit_impl(binned, y, w, row_ids, binned_val, yv, vmask, keys,
             leaf_value = tree[6]
         else:
             tree, gains, node_assign = _train_tree(
-                binned_T, binned, grad, hess, col_mask, params, axis_name)
+                binned_T, binned, grad, hess, col_mask, params, axis_name,
+                symmetric=symmetric)
             leaf_value = tree[4]
 
         margin = margin + leaf_value[node_assign]
@@ -672,6 +706,7 @@ def _fit_dart(binned, binned_T, y, w, row_ids, binned_val, yv, vmask, params,
     n = binned.shape[0]
     nv = binned_val.shape[0]
     lossguide = params.grow_policy == "lossguide"
+    symmetric = params.grow_policy == "symmetric"
     lg_steps = min(params.max_depth if params.max_depth > 0 else
                    params.max_leaves, params.max_leaves)
 
@@ -703,7 +738,8 @@ def _fit_dart(binned, binned_T, y, w, row_ids, binned_val, yv, vmask, params,
             leaf_value = tree[6]
         else:
             tree, gains, node_assign = _train_tree(
-                binned_T, binned, grad, hess, col_mask, params, axis_name)
+                binned_T, binned, grad, hess, col_mask, params, axis_name,
+                symmetric=symmetric)
             leaf_value = tree[4]
 
         # DART normalization

@@ -19,6 +19,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the suite is compile-bound on a small-CPU
+# host; repeat runs (the common case for the driver and for developers)
+# skip most XLA compiles. Best-effort — a cold cache just compiles.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_tests")
+try:
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

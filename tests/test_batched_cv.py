@@ -1,11 +1,13 @@
 """Batched (vmapped) fold training must match sequential fold training."""
 
 import numpy as np
+import pytest
 
 from mallorn_tpu.train.cv import train_cv
 from mallorn_tpu.trees.gbdt import GBDTParams
 
 
+@pytest.mark.slow
 def test_batched_equals_sequential():
     rng = np.random.default_rng(0)
     n = 400

@@ -1,11 +1,13 @@
 """chunked_extract must be bit-equivalent to a single-shot extraction."""
 
 import numpy as np
+import pytest
 
 from mallorn_tpu.features import statistical, tde
 from mallorn_tpu.features.base import chunked_extract
 
 
+@pytest.mark.slow
 def test_chunked_equals_whole(small_dataset):
     packed, meta, _ = small_dataset  # 64 objects
     whole = statistical.extract(packed, meta)

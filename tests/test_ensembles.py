@@ -61,6 +61,7 @@ def test_astromer_stub():
         astromer.extract(None)
 
 
+@pytest.mark.slow
 def test_astromer_learned_embeddings(tiny_dataset):
     from mallorn_tpu.features import astromer
 

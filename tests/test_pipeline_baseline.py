@@ -9,6 +9,7 @@ from mallorn_tpu.train.pipelines import run_baseline
 from mallorn_tpu.trees.gbdt import GBDTParams
 
 
+@pytest.mark.slow
 def test_baseline_pipeline_learns():
     packed, meta, _ = generate_dataset(n_objects=400, seed=42, tde_frac=0.12)
     params = GBDTParams(n_rounds=120, max_depth=5, learning_rate=0.1,

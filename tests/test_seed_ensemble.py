@@ -2,6 +2,7 @@
 (reference: non_successful_tests/scripts/train_v104_seed_ensemble.py:129-203)."""
 
 import numpy as np
+import pytest
 
 from mallorn_tpu.train.cv import train_cv
 from mallorn_tpu.train.pipelines import run_seed_ensemble
@@ -20,6 +21,7 @@ def _data(n=360, seed=0):
     return X, y, Xt
 
 
+@pytest.mark.slow
 def test_vmapped_matches_sequential_train_cv():
     """The [seeds*folds]-lane path must reproduce per-seed sequential
     train_cv exactly (same splits, same keys, same padding)."""
@@ -39,6 +41,7 @@ def test_vmapped_matches_sequential_train_cv():
     np.testing.assert_allclose(test, np.mean(tests_ref, 0), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_seed_diversity_and_averaging():
     X, y, Xt = _data(seed=1)
     seeds = (1, 2, 3)

@@ -22,6 +22,7 @@ def splits():
     return tr_p, tr_m, te_p, te_m
 
 
+@pytest.mark.slow
 def test_sharded_extraction_matches_single_device(splits):
     import jax
 

@@ -74,6 +74,7 @@ def test_sharded_subsample_matches_single_device():
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sharded_folds_match_batched_folds():
     """train_gbdt_folds_sharded (vmapped folds x sharded rows) returns the
     same forests + eval history as the single-device fold vmap."""

@@ -43,6 +43,7 @@ def test_shift_detected_and_weights_nonuniform(shifted_features):
     np.testing.assert_allclose(w, 0.5 + 1.5 * adv.train_adv_preds)
 
 
+@pytest.mark.slow
 def test_weights_change_the_trained_model(shifted_features):
     """The adversarial weights must actually flow into training: weighted
     CV produces different OOF predictions than unweighted CV."""
