@@ -266,8 +266,6 @@ def _train_tree(binned_T, binned, grad, hess, col_mask, p: GBDTParams, axis_name
     gain_per_feature = jnp.zeros(n_f, jnp.float32)
 
     node = jnp.zeros(n, jnp.int32)
-    prev_hist = None  # [F, 2^(d-1), B, 2] of the previous level
-    prev_leaf = None  # [2^(d-1)] make_leaf of the previous level
 
     for d in range(depth):
         n_nodes = 2 ** d
@@ -275,29 +273,9 @@ def _train_tree(binned_T, binned, grad, hess, col_mask, p: GBDTParams, axis_name
         local = node - level_start
         in_level = (local >= 0) & (local < n_nodes) & ~is_leaf[jnp.clip(node, 0, n_internal - 1)]
 
-        if d == 0:
-            hist = _build_level_hist(binned_T, grad, hess, local, in_level,
-                                     1, n_bins_tot, axis_name,
-                                     use_pallas=p.use_pallas_hist)
-        else:
-            # Sibling subtraction (the classic hist-GBDT trick, and what
-            # XGBoost/LightGBM do): build histograms only for LEFT
-            # children — the right child is parent minus left. The hist
-            # matmul cost scales with node count, so levels >= 1 cost
-            # half; the psum moves half the bytes.
-            is_left = (node % 2) == 1  # heap: left child of h is 2h+1
-            parent_local = (node - 1) // 2 - (2 ** (d - 1) - 1)
-            hist_left = _build_level_hist(
-                binned_T, grad, hess, parent_local, in_level & is_left,
-                n_nodes // 2, n_bins_tot, axis_name,
-                use_pallas=p.use_pallas_hist)
-            # parents that became leaves have no real children: zero them
-            live = ~prev_leaf[None, :, None, None]
-            hist_right = jnp.where(live, prev_hist - hist_left, 0.0)
-            hist_left = jnp.where(live, hist_left, 0.0)
-            # interleave: parent k -> children (2k, 2k+1)
-            hist = jnp.stack([hist_left, hist_right], axis=2).reshape(
-                n_f, n_nodes, n_bins_tot, 2)
+        hist = _build_level_hist(binned_T, grad, hess, local, in_level,
+                                 n_nodes, n_bins_tot, axis_name,
+                                 use_pallas=p.use_pallas_hist)
         best_gain, best_f, best_b, best_dl, g_tot, h_tot = _best_splits(
             hist, col_mask, p, symmetric=symmetric)
 
@@ -327,7 +305,6 @@ def _train_tree(binned_T, binned, grad, hess, col_mask, p: GBDTParams, axis_name
         child = 2 * node + jnp.where(go_left, 1, 2)
         stays = ~in_level | is_leaf[jnp.clip(node, 0, n_internal - 1)]
         node = jnp.where(stays, node, child)
-        prev_hist, prev_leaf = hist, make_leaf
 
     # terminal leaves at the last level. One-hot matmul instead of
     # segment_sum: XLA lowers the scatter-add to a serialized row loop on
