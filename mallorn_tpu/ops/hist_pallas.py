@@ -39,7 +39,8 @@ F_BLOCK = 32
 S_LO = 128  # lane width: the low digit of the segment-id decomposition
 
 
-def _hist_kernel(seg_ref, gh_ref, out_ref, *, n_hi: int, rows: int):
+def _hist_kernel(seg_ref, gh_ref, out_ref, *, n_hi: int, rows: int,
+                 precision=jax.lax.Precision.HIGHEST):
     """One (feature-block, row-chunk) program.
 
     seg_ref: [F_BLOCK, R] int32 segment ids
@@ -73,16 +74,18 @@ def _hist_kernel(seg_ref, gh_ref, out_ref, *, n_hi: int, rows: int):
     dn = (((0,), (0,)), ((), ()))  # contract over rows: A^T @ B
     for k in range(F_BLOCK):
         seg = seg_ref[k, :]
-        hi = seg // S_LO
-        lo = seg - hi * S_LO
+        # S_LO = 128: shift/mask, NOT `//`/`%` — jnp floor_divide on int32
+        # emits a full signed-div + sign-fixup sequence on the VPU.
+        hi = jax.lax.shift_right_logical(seg, 7)
+        lo = jax.lax.bitwise_and(seg, S_LO - 1)
         A = (hi[:, None] == hi_ids).astype(jnp.float32)  # [R, n_hi]
         B = (lo[:, None] == lo_ids).astype(jnp.float32)  # [R, 128]
         out_ref[k, 0, :, :] += jax.lax.dot_general(
             A * g[:, None], B, dn, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            precision=precision)
         out_ref[k, 1, :, :] += jax.lax.dot_general(
             A * h[:, None], B, dn, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            precision=precision)
 
 
 def build_histograms_pallas(
@@ -91,6 +94,7 @@ def build_histograms_pallas(
     n_seg: int,
     row_chunk: int = 1024,
     interpret: bool | None = None,
+    precision=jax.lax.Precision.HIGHEST,
 ) -> jnp.ndarray:
     """Returns [F, n_seg, 2] f32 histograms."""
     if interpret is None:
@@ -113,7 +117,8 @@ def build_histograms_pallas(
     seg = jnp.where(seg >= n_seg, s_pad, seg)
 
     grid = (f_pad // F_BLOCK, n_pad // row_chunk)
-    kernel = functools.partial(_hist_kernel, n_hi=n_hi, rows=row_chunk)
+    kernel = functools.partial(_hist_kernel, n_hi=n_hi, rows=row_chunk,
+                               precision=precision)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -133,3 +138,151 @@ def build_histograms_pallas(
     )(seg, gh)
     out = out.reshape(f_pad, 2, s_pad)
     return jnp.swapaxes(out, 1, 2)[:f, :n_seg, :]
+
+
+# ---------------------------------------------------------------------------
+# Bin-lane streamed histogram kernel.
+#
+# The kernel above builds a [rows, 128] one-hot PER FEATURE PER CALL on the
+# VPU — measured to be ~90% of the GBDT boosting round (the build is paid
+# 5 levels x 500 rounds even though the binned data never changes). This
+# variant precomputes the bin-lane one-hot ONCE per fit:
+#
+#   bhot[f, r, l] = (binned[f, r] & 127 == l)        bf16 [F, N, 128]
+#   hib[f, r]     = binned[f, r] >> 7                i32  [F, N]
+#
+# and per level streams bhot from HBM while building only the tiny
+# node-side one-hot (<= 3 * n_nodes lanes) in VMEM. grad/hess enter as
+# 3 bf16 digits each (g = g0 + g1 + g2 exactly representable splits), so
+# all matmuls are single-pass bf16 with f32 accumulation — the bf16x3
+# trick, >= f32-dot accuracy because the one-hot side is exact in bf16.
+#
+# Cost model: DMA-bound at 2 bytes * 128 lanes per (feature, row) element
+# instead of VPU-bound at ~280 lane-ops; ~5x per level at v92d shapes.
+# ---------------------------------------------------------------------------
+
+N_BH = 3  # default 128-lane groups per node: ceil((n_bins + 1) / 128), n_bins=256
+
+
+def precompute_binlane(binned_T: jnp.ndarray):
+    """One-hot decomposition of the binned matrix, built once per fit.
+
+    binned_T: [F, N] int32 bin ids in [0, n_bins] (n_bins == missing).
+    Returns (bhot [F, N, 128] bf16, hib [F, N] int32).
+    """
+    lo = jnp.bitwise_and(binned_T, S_LO - 1)
+    hib = jax.lax.shift_right_logical(binned_T, 7)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 1, S_LO), 2)
+    bhot = (lo[..., None] == lanes).astype(jnp.bfloat16)
+    return bhot, hib
+
+
+def split_gh_digits(grad: jnp.ndarray, hess: jnp.ndarray) -> jnp.ndarray:
+    """[N, 6] bf16 digit matrix: 3 bf16 digits of grad then of hess."""
+    def digits(x):
+        d0 = x.astype(jnp.bfloat16)
+        r = x - d0.astype(jnp.float32)
+        d1 = r.astype(jnp.bfloat16)
+        d2 = (r - d1.astype(jnp.float32)).astype(jnp.bfloat16)
+        return d0, d1, d2
+
+    g0, g1, g2 = digits(grad)
+    h0, h1, h2 = digits(hess)
+    return jnp.stack([g0, g1, g2, h0, h1, h2], axis=-1)
+
+
+def _binlane_kernel(nodeq_ref, gd_ref, hib_ref, bhot_ref, out_ref, *,
+                    n_nodes: int, rows: int, f_block: int, n_bh: int):
+    """One (feature-block, row-chunk) program.
+
+    nodeq_ref: [1, R] i32 node index per row (n_nodes => inactive)
+    gd_ref:    [R, 8] bf16 digit matrix (6 digits + 2 zero pad lanes)
+    hib_ref:   [F_BLOCK, R] i32 high bin digit (0..2)
+    bhot_ref:  [F_BLOCK, R, 128] bf16 precomputed lane one-hot
+    out_ref:   [F_BLOCK, 2, n_nodes * N_BH, 128] f32
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:, :, :, :] = jnp.zeros_like(out_ref)
+
+    cols = n_nodes * n_bh
+    node3 = nodeq_ref[0, :] * n_bh  # [R]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    gdl = [gd_ref[:, d] for d in range(6)]
+    dn = (((0,), (0,)), ((), ()))
+    for k in range(f_block):
+        seghi = node3 + hib_ref[k, :]  # inactive rows land at >= cols
+        A = (seghi[:, None] == col_ids).astype(jnp.bfloat16)  # [R, C]
+        # one nonzero column per row; scale by each of the 6 gh digits
+        # (lane-axis concat, NOT a [R, 6, C] reshape — Mosaic cannot
+        # shape-cast across the lane dimension)
+        AD = jnp.concatenate([A * gdl[d][:, None] for d in range(6)], axis=1)
+        o = jax.lax.dot_general(
+            AD, bhot_ref[k], dn, preferred_element_type=jnp.float32)  # [6C,128]
+        out_ref[k, 0, :, :] += (o[0:cols] + o[cols:2 * cols]
+                                + o[2 * cols:3 * cols])
+        out_ref[k, 1, :, :] += (o[3 * cols:4 * cols] + o[4 * cols:5 * cols]
+                                + o[5 * cols:6 * cols])
+
+
+def build_histograms_binlane(
+    bhot: jnp.ndarray,  # [F, N, 128] bf16 from precompute_binlane
+    hib: jnp.ndarray,  # [F, N] i32
+    node_q: jnp.ndarray,  # [N] i32 node per row, n_nodes => inactive
+    gd: jnp.ndarray,  # [N, 6] bf16 from split_gh_digits
+    n_nodes: int,
+    n_bins_tot: int,
+    row_chunk: int = 2464,
+    f_block: int = F_BLOCK,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Returns [F, n_nodes, n_bins_tot, 2] f32 (grad, hess) histograms."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_bh = -(-n_bins_tot // S_LO)
+
+    f, n = hib.shape
+    f_pad = _round_up(f, f_block)
+    row_chunk = min(row_chunk, _round_up(n, 8))
+    n_pad = _round_up(n, row_chunk)
+    if n_pad != n:
+        node_q = jnp.concatenate(
+            [node_q, jnp.full((n_pad - n,), n_nodes, jnp.int32)])
+        gd = jnp.concatenate([gd, jnp.zeros((n_pad - n, 6), gd.dtype)])
+        hib = jnp.concatenate([hib, jnp.zeros((f, n_pad - n), hib.dtype)], 1)
+        bhot = jnp.concatenate(
+            [bhot, jnp.zeros((f, n_pad - n, S_LO), bhot.dtype)], 1)
+    if f_pad != f:
+        hib = jnp.concatenate(
+            [hib, jnp.zeros((f_pad - f, n_pad), hib.dtype)], 0)
+        bhot = jnp.concatenate(
+            [bhot, jnp.zeros((f_pad - f, n_pad, S_LO), bhot.dtype)], 0)
+    gd8 = jnp.concatenate([gd, jnp.zeros((n_pad, 2), gd.dtype)], 1)
+
+    grid = (f_pad // f_block, n_pad // row_chunk)
+    kernel = functools.partial(_binlane_kernel, n_nodes=n_nodes,
+                               rows=row_chunk, f_block=f_block, n_bh=n_bh)
+    mem = pltpu.ANY if interpret else pltpu.VMEM
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, row_chunk), lambda i, j: (0, j), memory_space=mem),
+            pl.BlockSpec((row_chunk, 8), lambda i, j: (j, 0), memory_space=mem),
+            pl.BlockSpec((f_block, row_chunk), lambda i, j: (i, j),
+                         memory_space=mem),
+            pl.BlockSpec((f_block, row_chunk, S_LO), lambda i, j: (i, j, 0),
+                         memory_space=mem),
+        ],
+        out_specs=pl.BlockSpec((f_block, 2, n_nodes * n_bh, S_LO),
+                               lambda i, j: (i, 0, 0, 0), memory_space=mem),
+        out_shape=jax.ShapeDtypeStruct(
+            (f_pad, 2, n_nodes * n_bh, S_LO), jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(node_q[None, :], gd8, hib, bhot)
+    out = out.reshape(f_pad, 2, n_nodes, n_bh * S_LO)
+    return out.transpose(0, 2, 3, 1)[:f, :, :n_bins_tot, :]

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mallorn_tpu.ops import hist_pallas
 from mallorn_tpu.trees.binning import BinSpec, apply_bins, fit_bins
 from mallorn_tpu.trees import objectives
 
@@ -53,6 +54,14 @@ class GBDTParams(NamedTuple):
     # XLA lowers the segment_sum scatter-adds to a serialized loop;
     # segment_sum elsewhere). True/False forces a path.
     use_pallas_hist: Optional[bool] = None
+    # bin-lane streamed histograms: precompute the [F, N, 128] bin-lane
+    # one-hot ONCE per fit and stream it from HBM each level, instead of
+    # rebuilding it on the VPU 5 levels x n_rounds times (the build was
+    # ~90% of the boosting round). None = auto: on for the TPU backend
+    # in the depthwise path, off elsewhere. Costs F*N*256 bytes of HBM
+    # per fold-lane; train_gbdt_folds auto-disables when the stacked
+    # lanes would exceed the HBM budget.
+    use_binlane_hist: Optional[bool] = None
     # DART dropout boosting (LightGBM-DART capability, reference v111):
     # each round drops existing trees with this probability, fits against
     # the surviving ensemble, and renormalizes (new: 1/(k+1), dropped:
@@ -143,6 +152,20 @@ def _row_subsample_mask(key, row_ids, rate):
     x = x ^ (x >> 16)
     u = x.astype(jnp.float32) * jnp.float32(1.0 / 4294967296.0)
     return u < rate
+
+
+def _pick_row_chunk(n: int, cap: int = 1280) -> int:
+    """Largest multiple-of-128 divisor of ``n`` up to ``cap`` (0 if none).
+
+    The bin-lane kernel's row chunk must tile the row axis exactly (or it
+    pays a full-array copy per call) and be a multiple of 128 (Mosaic
+    requires the last block dim divisible by 128 unless it spans the
+    whole axis)."""
+    best = 0
+    for c in range(128, min(n, cap) + 1, 128):
+        if n % c == 0:
+            best = c
+    return best
 
 
 def _build_level_hist(binned_T, grad, hess, local_node, in_level, n_nodes, n_bins_tot,
@@ -246,7 +269,7 @@ def _best_splits(hist, col_mask, p: GBDTParams, symmetric: bool = False):
 
 
 def _train_tree(binned_T, binned, grad, hess, col_mask, p: GBDTParams, axis_name,
-                symmetric: bool = False):
+                symmetric: bool = False, binlane=None):
     """Build one tree level by level: XGBoost depth-wise growth, or (with
     ``symmetric``) a CatBoost oblivious tree — same heap layout, but every
     level shares one split. Returns (tree arrays, per-feature gain,
@@ -273,9 +296,16 @@ def _train_tree(binned_T, binned, grad, hess, col_mask, p: GBDTParams, axis_name
         local = node - level_start
         in_level = (local >= 0) & (local < n_nodes) & ~is_leaf[jnp.clip(node, 0, n_internal - 1)]
 
-        hist = _build_level_hist(binned_T, grad, hess, local, in_level,
-                                 n_nodes, n_bins_tot, axis_name,
-                                 use_pallas=p.use_pallas_hist)
+        if binlane is not None:
+            bhot, hib, gd, bl_rc = binlane
+            node_q = jnp.where(in_level, local, n_nodes)
+            hist = _psum(hist_pallas.build_histograms_binlane(
+                bhot, hib, node_q, gd, n_nodes, n_bins_tot,
+                row_chunk=bl_rc), axis_name)
+        else:
+            hist = _build_level_hist(binned_T, grad, hess, local, in_level,
+                                     n_nodes, n_bins_tot, axis_name,
+                                     use_pallas=p.use_pallas_hist)
         best_gain, best_f, best_b, best_dl, g_tot, h_tot = _best_splits(
             hist, col_mask, p, symmetric=symmetric)
 
@@ -518,8 +548,13 @@ def train_gbdt(
                             sample_weight=np.asarray(w))
 
     binned = apply_bins(bin_spec, jnp.asarray(X_train, jnp.float32))
-    if pad_rows_to is not None and pad_rows_to > n_real:
-        extra = pad_rows_to - n_real
+    pad_rows = max(pad_rows_to or 0, n_real)
+    if jax.default_backend() == "tpu":
+        # round the row axis to a 512 multiple so the bin-lane histogram
+        # kernel's row chunk tiles it exactly (padded rows are zero-weight)
+        pad_rows = ((pad_rows + 511) // 512) * 512
+    if pad_rows > n_real:
+        extra = pad_rows - n_real
         binned = jnp.concatenate([binned, jnp.zeros((extra, binned.shape[1]), binned.dtype)])
         y = jnp.concatenate([y, jnp.zeros(extra, y.dtype)])
         w = jnp.concatenate([w, jnp.zeros(extra, w.dtype)])  # zero weight -> inert
@@ -590,6 +625,14 @@ def _fit_impl(binned, y, w, row_ids, binned_val, yv, vmask, keys,
 
     k_cols = max(1, int(round(params.colsample_bytree * n_f)))
 
+    use_binlane = params.use_binlane_hist
+    if use_binlane is None:
+        use_binlane = jax.default_backend() == "tpu"
+    bl_rc = _pick_row_chunk(n)
+    use_binlane = use_binlane and not lossguide and bl_rc >= 256
+    if use_binlane:
+        bl_bhot, bl_hib = hist_pallas.precompute_binlane(binned_T)
+
     def round_step(carry, rkey):
         margin, margin_val = carry
         k_sub, k_col = jax.random.split(rkey)
@@ -606,6 +649,11 @@ def _fit_impl(binned, y, w, row_ids, binned_val, yv, vmask, keys,
         else:
             col_mask = jnp.ones(n_f, bool)
 
+        binlane = None
+        if use_binlane:
+            binlane = (bl_bhot, bl_hib,
+                       hist_pallas.split_gh_digits(grad, hess), bl_rc)
+
         if lossguide:
             tree, gains, node_assign = _train_tree_lossguide(
                 binned_T, binned, grad, hess, col_mask, params, axis_name)
@@ -613,7 +661,7 @@ def _fit_impl(binned, y, w, row_ids, binned_val, yv, vmask, keys,
         else:
             tree, gains, node_assign = _train_tree(
                 binned_T, binned, grad, hess, col_mask, params, axis_name,
-                symmetric=symmetric)
+                symmetric=symmetric, binlane=binlane)
             leaf_value = tree[4]
 
         margin = margin + leaf_value[node_assign]
@@ -870,6 +918,20 @@ def train_gbdt_folds(
 
     pad_rows_to = pad_rows_to or max(len(f["X"]) for f in folds)
     pad_val_rows_to = pad_val_rows_to or max(len(f["X_val"]) for f in folds)
+    if jax.default_backend() == "tpu":
+        # row axis to a 512 multiple: the bin-lane histogram kernel's row
+        # chunk must tile it exactly (padded rows are zero-weight)
+        pad_rows_to = ((pad_rows_to + 511) // 512) * 512
+        if params.use_binlane_hist is None:
+            # HBM gate: the precomputed [F, N, 128] bf16 bin-lane one-hot
+            # costs 256 bytes per (lane, feature, row); many-lane fits
+            # (e.g. the [seeds x folds] v104 ensemble) fall back to the
+            # per-level one-hot kernel.
+            f_pad = pad_features_to or max(len(f["X"][0]) for f in folds)
+            f_pad = ((f_pad + 31) // 32) * 32
+            bl_bytes = len(folds) * f_pad * pad_rows_to * 256
+            if bl_bytes > 4e9:
+                params = params._replace(use_binlane_hist=False)
     arrs, specs, n_feat_real = _stack_folds(
         folds, params, pad_rows_to, pad_val_rows_to, pad_features_to)
 

@@ -4,7 +4,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mallorn_tpu.ops.hist_pallas import build_histograms_pallas
+from mallorn_tpu.ops.hist_pallas import (
+    build_histograms_binlane,
+    build_histograms_pallas,
+    precompute_binlane,
+    split_gh_digits,
+)
 
 
 def test_matches_segment_sum():
@@ -24,6 +29,57 @@ def test_matches_segment_sum():
                 want[fi, s] += gh[i]
 
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_binlane_matches_oracle():
+    """Bin-lane streamed kernel (bf16x3 digits) vs dense NumPy oracle."""
+    rng = np.random.default_rng(2)
+    f, n, nbt = 5, 384, 257
+    for n_nodes in (1, 4):
+        binned = rng.integers(0, nbt, (f, n), dtype=np.int32)
+        node_q = rng.integers(0, n_nodes + 1, n, dtype=np.int32)
+        g = rng.normal(size=n).astype(np.float32) * 3.7
+        h = np.abs(rng.normal(size=n)).astype(np.float32)
+
+        bhot, hib = precompute_binlane(jnp.asarray(binned))
+        gd = split_gh_digits(jnp.asarray(g), jnp.asarray(h))
+        got = np.asarray(build_histograms_binlane(
+            bhot, hib, jnp.asarray(node_q), gd, n_nodes, nbt,
+            row_chunk=128, interpret=True))
+
+        want = np.zeros((f, n_nodes, nbt, 2), np.float64)
+        for fi in range(f):
+            for r in range(n):
+                if node_q[r] < n_nodes:
+                    want[fi, node_q[r], binned[fi, r], 0] += g[r]
+                    want[fi, node_q[r], binned[fi, r], 1] += h[r]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_binlane_training_parity():
+    """train_gbdt with the bin-lane kernel builds the same trees as the
+    segment_sum path (forced on CPU; interpret-mode Pallas)."""
+    from mallorn_tpu.trees.gbdt import GBDTParams, train_gbdt
+
+    rng = np.random.default_rng(3)
+    n, f = 256, 12
+    X = rng.normal(size=(n, f)).astype(np.float32)
+    y = (X[:, 0] + 0.5 * X[:, 1] ** 2 + 0.3 * rng.normal(size=n) > 0.4)
+    X[rng.random((n, f)) < 0.1] = np.nan
+
+    base = GBDTParams(n_rounds=12, max_depth=3, learning_rate=0.3,
+                      subsample=1.0, colsample_bytree=1.0)
+    m_ref = train_gbdt(X, y.astype(np.float32),
+                       base._replace(use_binlane_hist=False))
+    m_bl = train_gbdt(X, y.astype(np.float32),
+                      base._replace(use_binlane_hist=True))
+    np.testing.assert_array_equal(np.asarray(m_ref.forest.feature),
+                                  np.asarray(m_bl.forest.feature))
+    np.testing.assert_array_equal(np.asarray(m_ref.forest.split_bin),
+                                  np.asarray(m_bl.forest.split_bin))
+    np.testing.assert_allclose(np.asarray(m_ref.forest.leaf_value),
+                               np.asarray(m_bl.forest.leaf_value),
+                               rtol=2e-4, atol=2e-5)
 
 
 def test_row_padding_is_inert():
