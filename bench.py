@@ -102,6 +102,29 @@ def main():
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
         log("pallas histogram kernel vs segment_sum on device: OK")
 
+        # same gate for the bin-lane streamed kernel (the production path)
+        from mallorn_tpu.ops.hist_pallas import (
+            build_histograms_binlane, precompute_binlane, split_gh_digits)
+
+        nbt, n_nodes, n_bl = 257, 4, 2560
+        binned_chk = jnp.asarray(
+            rng.integers(0, nbt, size=(f_chk, n_bl)), jnp.int32)
+        node_q = jnp.asarray(
+            rng.integers(0, n_nodes + 1, size=n_bl), jnp.int32)
+        g2 = jnp.asarray(rng.normal(size=n_bl), jnp.float32)
+        h2 = jnp.abs(g2) + 0.1
+        bhot, hib = precompute_binlane(binned_chk)
+        got2 = np.asarray(build_histograms_binlane(
+            bhot, hib, node_q, split_gh_digits(g2, h2), n_nodes, nbt,
+            row_chunk=1280))
+        seg2 = jnp.where(node_q < n_nodes,
+                         node_q * nbt + binned_chk, n_nodes * nbt)
+        want2 = np.stack([np.asarray(jax.ops.segment_sum(
+            jnp.stack([g2, h2], -1), s, num_segments=n_nodes * nbt + 1)[:-1])
+            for s in np.asarray(seg2)]).reshape(f_chk, n_nodes, nbt, 2)
+        np.testing.assert_allclose(got2, want2, rtol=1e-5, atol=1e-4)
+        log("bin-lane histogram kernel vs segment_sum on device: OK")
+
     (tr_packed, tr_meta), (te_packed, te_meta) = get_data()
     from mallorn_tpu.data.packing import unify_time_padding
 

@@ -209,16 +209,24 @@ def _binlane_kernel(nodeq_ref, gd_ref, hib_ref, bhot_ref, out_ref, *,
 
     cols = n_nodes * n_bh
     node3 = nodeq_ref[0, :] * n_bh  # [R]
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
-    gdl = [gd_ref[:, d] for d in range(6)]
     dn = (((0,), (0,)), ((), ()))
+
+    # AD[r, d*cols + c] = gd[r, d] * [seghi[r] == c], built as ONE
+    # full-width select per feature: cmp against a constant (j % cols)
+    # lane pattern, digits lane-expanded ONCE per program via a constant
+    # 0/1 matmul (gd @ E) — narrow per-digit multiplies plus an unaligned
+    # lane concat measured 3x the cost of the compare itself.
+    j6 = jax.lax.broadcasted_iota(jnp.int32, (rows, 6 * cols), 1)
+    cidx = jax.lax.rem(j6, cols)
+    expand = (jax.lax.broadcasted_iota(jnp.int32, (8, 6 * cols), 0)
+              == jax.lax.div(j6[:8], cols)).astype(jnp.bfloat16)  # [8, 6C]
+    gsel = jax.lax.dot_general(
+        gd_ref[:, :], expand, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)  # [R, 6C]
+
     for k in range(f_block):
         seghi = node3 + hib_ref[k, :]  # inactive rows land at >= cols
-        A = (seghi[:, None] == col_ids).astype(jnp.bfloat16)  # [R, C]
-        # one nonzero column per row; scale by each of the 6 gh digits
-        # (lane-axis concat, NOT a [R, 6, C] reshape — Mosaic cannot
-        # shape-cast across the lane dimension)
-        AD = jnp.concatenate([A * gdl[d][:, None] for d in range(6)], axis=1)
+        AD = jnp.where(seghi[:, None] == cidx, gsel, jnp.bfloat16(0.0))
         o = jax.lax.dot_general(
             AD, bhot_ref[k], dn, preferred_element_type=jnp.float32)  # [6C,128]
         out_ref[k, 0, :, :] += (o[0:cols] + o[cols:2 * cols]

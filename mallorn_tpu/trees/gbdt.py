@@ -168,6 +168,18 @@ def _pick_row_chunk(n: int, cap: int = 1280) -> int:
     return best
 
 
+def _gather_feature_values(binned, feat_idx):
+    """``binned[r, feat_idx[r]]`` as a one-hot masked lane-reduction.
+
+    XLA lowers the per-row minor-axis gather (take_along_axis) to a slow
+    path on TPU; the [N, F] compare + select + lane-sum is a handful of
+    full-width VPU ops and exact (one nonzero term per row)."""
+    f = binned.shape[1]
+    onehot = feat_idx[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (1, f), 1)
+    return jnp.sum(jnp.where(onehot, binned, 0), axis=1)
+
+
 def _build_level_hist(binned_T, grad, hess, local_node, in_level, n_nodes, n_bins_tot,
                       axis_name, use_pallas=False):
     """Histograms [F, n_nodes, n_bins_tot, 2] of (grad, hess) sums.
@@ -329,7 +341,7 @@ def _train_tree(binned_T, binned, grad, hess, col_mask, p: GBDTParams, axis_name
         feat_n = feature[jnp.clip(node, 0, n_internal - 1)]
         sbin_n = split_bin[jnp.clip(node, 0, n_internal - 1)]
         dleft_n = default_left[jnp.clip(node, 0, n_internal - 1)]
-        bv = jnp.take_along_axis(binned, feat_n[:, None], axis=1)[:, 0]
+        bv = _gather_feature_values(binned, feat_n)
         is_missing = bv == missing_id
         go_left = jnp.where(is_missing, dleft_n, bv <= sbin_n)
         child = 2 * node + jnp.where(go_left, 1, 2)
@@ -366,7 +378,7 @@ def _predict_tree(tree, binned, missing_id, depth):
     for _ in range(depth):
         cn = jnp.clip(node, 0, n_internal - 1)
         feat = feature[cn]
-        bv = jnp.take_along_axis(binned, feat[:, None], axis=1)[:, 0]
+        bv = _gather_feature_values(binned, feat)
         is_missing = bv == missing_id
         go_left = jnp.where(is_missing, default_left[cn], bv <= split_bin[cn])
         child = 2 * node + jnp.where(go_left, 1, 2)
@@ -489,7 +501,7 @@ def _predict_tree_lossguide(tree, binned, missing_id, n_steps):
     node = jnp.zeros(n, jnp.int32)
     for _ in range(n_steps):
         feat = feature[node]
-        bv = jnp.take_along_axis(binned, feat[:, None], axis=1)[:, 0]
+        bv = _gather_feature_values(binned, feat)
         is_missing = bv == missing_id
         go_left = jnp.where(is_missing, default_left[node], bv <= split_bin[node])
         child = jnp.where(go_left, left[node], right[node])
@@ -930,7 +942,7 @@ def train_gbdt_folds(
             f_pad = pad_features_to or max(len(f["X"][0]) for f in folds)
             f_pad = ((f_pad + 31) // 32) * 32
             bl_bytes = len(folds) * f_pad * pad_rows_to * 256
-            if bl_bytes > 4e9:
+            if bl_bytes > 5.5e9:
                 params = params._replace(use_binlane_hist=False)
     arrs, specs, n_feat_real = _stack_folds(
         folds, params, pad_rows_to, pad_val_rows_to, pad_features_to)
