@@ -82,10 +82,14 @@ SHIFT_FEATURES = ("all_rise_time", "all_asymmetry")
 # v104 seed list (reference: train_v104_seed_ensemble.py:130).
 V104_SEEDS = (42, 123, 456, 789, 1024, 2048, 3141, 4242, 5555, 6789)
 
-# All pipeline GBDT calls pad their feature axis to this width with inert
-# columns so selection (307 cols), v34a (224) and v92d (222) share one
-# compiled boosting graph — compilation dominates wall time on TPU.
-PAD_FEATURES = 384
+# Feature-axis padding for pipeline GBDT calls. Round 1 padded everything
+# to one 384-wide graph because compilation dominated; with the AOT
+# executable cache and the bin-lane histogram kernel (cost LINEAR in the
+# padded width) it is faster to let each config train at its natural
+# width rounded to the kernel's 32-lane block (selection 307->320,
+# v34a/v92d 224) — two cached graphs instead of one, ~1.7x less
+# histogram streaming for the winning config.
+PAD_FEATURES = None
 
 
 @dataclasses.dataclass

@@ -538,9 +538,14 @@ def train_gbdt(
     # different feature counts share one compiled boosting graph; inert
     # columns can never split (their value bins are empty).
     n_feat_real = X_train.shape[1]
-    if pad_features_to is not None and pad_features_to > n_feat_real:
+    pad_f = max(pad_features_to or 0, n_feat_real)
+    if jax.default_backend() == "tpu":
+        # feature axis to a 32 multiple: the histogram kernels tile
+        # features in blocks of 32 (inert NaN columns can never split)
+        pad_f = ((pad_f + 31) // 32) * 32
+    if pad_f > n_feat_real:
         def _padf(M):
-            extra = pad_features_to - M.shape[1]
+            extra = pad_f - M.shape[1]
             return np.concatenate(
                 [np.asarray(M, np.float32),
                  np.full((len(M), extra), np.nan, np.float32)], axis=1)
@@ -930,7 +935,10 @@ def train_gbdt_folds(
 
     pad_rows_to = pad_rows_to or max(len(f["X"]) for f in folds)
     pad_val_rows_to = pad_val_rows_to or max(len(f["X_val"]) for f in folds)
+    f_real_max = max(np.asarray(f["X"]).shape[1] for f in folds)
+    pad_features_to = max(pad_features_to or 0, f_real_max)
     if jax.default_backend() == "tpu":
+        pad_features_to = ((pad_features_to + 31) // 32) * 32
         # row axis to a 512 multiple: the bin-lane histogram kernel's row
         # chunk must tile it exactly (padded rows are zero-weight)
         pad_rows_to = ((pad_rows_to + 511) // 512) * 512
@@ -939,9 +947,7 @@ def train_gbdt_folds(
             # costs 256 bytes per (lane, feature, row); many-lane fits
             # (e.g. the [seeds x folds] v104 ensemble) fall back to the
             # per-level one-hot kernel.
-            f_pad = pad_features_to or max(len(f["X"][0]) for f in folds)
-            f_pad = ((f_pad + 31) // 32) * 32
-            bl_bytes = len(folds) * f_pad * pad_rows_to * 256
+            bl_bytes = len(folds) * pad_features_to * pad_rows_to * 256
             if bl_bytes > 5.5e9:
                 params = params._replace(use_binlane_hist=False)
     arrs, specs, n_feat_real = _stack_folds(
