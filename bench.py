@@ -166,9 +166,12 @@ def main():
         Xv4 = pipelines._finite_or_nan(Xv4)
         sel_cv = train_cv(Xv4, tr_meta.target, None, pipelines.V34A_PARAMS,
                           pad_features_to=pipelines.PAD_FEATURES)
+        t1b = time.perf_counter()
+        log(f"  [{tag}] selection CV fit+oof: {t1b - t1:.2f}s")
         selection = select_features(Xv4, v4_names, sel_cv.importance_gain, 120)
         X_tr, names = pipelines.assemble_v34a_matrix(tr_bundle, selection.selected)
         X_te, _ = pipelines.assemble_v34a_matrix(te_bundle, selection.selected)
+        log(f"  [{tag}] select+assemble: {time.perf_counter() - t1b:.2f}s")
         log(f"[{tag}] selection pass: {time.perf_counter() - t1:.2f}s "
             f"({len(names)} assembled features)")
 

@@ -130,6 +130,14 @@ def train_cv(
                 pad_rows_to=pad_train, pad_val_rows_to=pad_val,
                 pad_features_to=pad_features_to)
 
+    # all-fold test predictions as ONE vmapped forest scan (same X for
+    # every fold; 5 sequential 500-tree scans measured ~3s on TPU)
+    test_margin_folds = None
+    if batched_folds and X_test is not None and models:
+        from mallorn_tpu.trees.gbdt import predict_margin_folds
+
+        test_margin_folds = predict_margin_folds(models, X_test)
+
     for fold, (tr, va) in enumerate(splits):
         if batched_folds:
             model = models[fold]
@@ -147,14 +155,21 @@ def train_cv(
             )
             models.append(model)
 
-        if sigmoid_outputs or objective is None:
+        use_sigmoid = sigmoid_outputs or objective is None
+        if test_margin_folds is not None:
+            test_p = test_margin_folds[fold]
+            if use_sigmoid:
+                test_p = 1.0 / (1.0 + np.exp(-test_p))
+        else:
+            test_p = None
+        if use_sigmoid:
             val_p = np.asarray(predict_proba(model, X_train[va]))
-            test_p = (np.asarray(predict_proba(model, X_test))
-                      if X_test is not None else None)
+            if test_p is None and X_test is not None:
+                test_p = np.asarray(predict_proba(model, X_test))
         else:
             val_p = np.asarray(predict_margin(model, X_train[va]))
-            test_p = (np.asarray(predict_margin(model, X_test))
-                      if X_test is not None else None)
+            if test_p is None and X_test is not None:
+                test_p = np.asarray(predict_margin(model, X_test))
 
         oof[va] = val_p
         if test_preds is not None:

@@ -327,14 +327,20 @@ def run_v92(
                                     train_adv_preds=np.zeros(len(Xtr)),
                                     importance_gain=np.zeros(Xtr.shape[1]))
         else:
+            import time as _time
+
             from mallorn_tpu.train.adversarial import ADV_PARAMS
 
+            _t0 = _time.perf_counter()
             adv = adversarial_validation(Xtr, Xte,
                                          params=adv_params or ADV_PARAMS,
                                          mesh=mesh)
+            print(f"  [v92] adversarial validation: "
+                  f"{_time.perf_counter() - _t0:.2f}s", flush=True)
 
     results: Dict[str, CVResult] = {}
     for name, cfg in (variants or V92_VARIANTS).items():
+        _tv = __import__("time").perf_counter()
         gamma = cfg.get("gamma", 0.0)
         if gamma > 0:
             obj = objectives.make_focal(gamma=gamma, alpha=cfg["alpha"])
@@ -353,6 +359,8 @@ def run_v92(
                           pad_features_to=PAD_FEATURES,
                           mesh=mesh, verbose=verbose)
         results[name] = cv
+        print(f"  [v92] variant {name} CV: "
+              f"{__import__('time').perf_counter() - _tv:.2f}s", flush=True)
         if verbose:
             print(f"   {name}: OOF F1={cv.best_f1:.4f} @ {cv.best_threshold:.3f}",
                   flush=True)

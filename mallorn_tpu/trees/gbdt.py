@@ -1029,3 +1029,65 @@ def predict_margin(model: GBDTModel, X: np.ndarray,
 def predict_proba(model: GBDTModel, X: np.ndarray,
                   n_trees: Optional[int] = None) -> jnp.ndarray:
     return jax.nn.sigmoid(predict_margin(model, X, n_trees))
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _predict_margin_folds_jit(forests, binned, n_trees, cfg):
+    missing_id, depth = cfg
+    lossguide = len(forests) == 7
+
+    def one(forest, b, nt):
+        def body(carry, inp):
+            r, margin = carry
+            tree = inp
+            if lossguide:
+                v = _predict_tree_lossguide(tree, b, missing_id, depth)
+            else:
+                v = _predict_tree(tree, b, missing_id, depth + 1)
+            # early-stopped models: trees past best_iteration are real
+            # but must not contribute (xgboost predict semantics)
+            margin = margin + jnp.where(r < nt, v, 0.0)
+            return (r + 1, margin), None
+
+        (_, margin), _ = jax.lax.scan(
+            body, (jnp.asarray(0), jnp.zeros(b.shape[0], jnp.float32)),
+            tuple(forest))
+        return margin
+
+    return jax.vmap(one)(forests, binned, n_trees)
+
+
+def predict_margin_folds(models, X: np.ndarray) -> np.ndarray:
+    """Margins for a list of same-config fold models on the SAME raw X as
+    one vmapped dispatch (per-fold bin specs applied host-side).
+
+    One [folds, N] batched forest scan instead of ``len(models)``
+    sequential 500-tree scans; per-fold best_iteration truncation is a
+    traced mask so all folds share one executable. Returns [folds, N]."""
+    X = np.asarray(X, np.float32)
+    m0 = models[0]
+    f_model = m0.bin_spec.edges.shape[0]
+    if X.shape[1] < f_model:
+        X = np.concatenate(
+            [X, np.full((len(X), f_model - X.shape[1]), np.nan, np.float32)],
+            axis=1)
+    Xj = jnp.asarray(X, jnp.float32)
+    binned = jnp.stack([apply_bins(m.bin_spec, Xj) for m in models])
+    forests = jax.tree.map(lambda *a: jnp.stack(a),
+                           *[tuple(m.forest) for m in models])
+    n_trees = jnp.asarray(
+        [(m.best_iteration + 1) if m.best_iteration >= 0
+         else m.forest.feature.shape[0] for m in models], jnp.int32)
+    p = m0.params
+    if isinstance(m0.forest, LGForest):
+        route_depth = min(p.max_depth if p.max_depth > 0 else p.max_leaves,
+                          p.max_leaves)
+    else:
+        route_depth = p.max_depth
+    out = _predict_margin_folds_jit(tuple(forests), binned, n_trees,
+                                    (p.n_bins, route_depth))
+    return np.asarray(out)
+
+
+def predict_proba_folds(models, X: np.ndarray) -> np.ndarray:
+    return np.asarray(jax.nn.sigmoid(jnp.asarray(predict_margin_folds(models, X))))

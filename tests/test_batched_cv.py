@@ -27,3 +27,32 @@ def test_batched_equals_sequential():
         np.testing.assert_array_equal(np.asarray(ma.forest.feature),
                                       np.asarray(mb.forest.feature))
         assert ma.best_iteration == mb.best_iteration
+
+
+def test_predict_margin_folds_matches_sequential():
+    """One vmapped all-fold predict == per-model predicts, including the
+    per-fold best_iteration truncation mask."""
+    from mallorn_tpu.trees.gbdt import (predict_margin, predict_margin_folds,
+                                        train_gbdt)
+
+    rng = np.random.default_rng(1)
+    n = 300
+    X = rng.normal(size=(n, 6)).astype(np.float32)
+    y = ((X[:, 0] + rng.normal(0, 0.5, n)) > 0).astype(np.float32)
+    X[rng.uniform(size=n) < 0.1, 1] = np.nan
+    Xq = rng.normal(size=(77, 6)).astype(np.float32)
+
+    p = GBDTParams(n_rounds=30, max_depth=3, learning_rate=0.2)
+    models = []
+    for seed in (0, 1, 2):
+        tr = rng.permutation(n)[:220]
+        va = np.setdiff1d(np.arange(n), tr)
+        models.append(train_gbdt(
+            X[tr], y[tr], p._replace(seed=seed),
+            X_val=X[va], y_val=y[va], early_stopping_rounds=5))
+    assert any(m.best_iteration >= 0 for m in models)
+
+    got = predict_margin_folds(models, Xq)
+    for i, m in enumerate(models):
+        np.testing.assert_allclose(got[i], np.asarray(predict_margin(m, Xq)),
+                                   rtol=1e-5, atol=1e-6)
