@@ -28,10 +28,34 @@ class SelectionResult:
     high_corr_pairs: pd.DataFrame
 
 
+def _pairwise_complete_corr(X: np.ndarray) -> np.ndarray:
+    """Pearson correlation with pandas' pairwise-complete-NaN semantics,
+    as five [F, N] @ [N, F] matmuls instead of the O(F^2 N) Cython pair
+    loop of ``DataFrame.corr`` (~10 s at 307 features x 3054 rows)."""
+    M = np.isfinite(X)
+    # center each column (pairwise Pearson is shift-invariant per column;
+    # centering kills the catastrophic cancellation of n*sxy - sx*sy for
+    # large-magnitude features like the 1e10 inf-clips)
+    with np.errstate(invalid="ignore"):
+        mu = np.where(M.any(0), np.nanmean(np.where(M, X, np.nan), axis=0), 0.0)
+    V = np.where(M, X - mu, 0.0)
+    Mf = M.astype(np.float64)
+    V2 = V * V
+    n = Mf.T @ Mf
+    sx = V.T @ Mf
+    sxy = V.T @ V
+    sxx = V2.T @ Mf
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cov = n * sxy - sx * sx.T
+        var_x = n * sxx - sx * sx
+        corr = cov / np.sqrt(var_x * var_x.T)
+    corr[n < 2] = np.nan
+    return corr
+
+
 def correlation_prune(X: np.ndarray, names: Sequence[str],
                       threshold: float = 0.95) -> Tuple[pd.DataFrame, set]:
-    df = pd.DataFrame(np.asarray(X, dtype=np.float64), columns=list(names))
-    corr = df.corr().abs().to_numpy()
+    corr = np.abs(_pairwise_complete_corr(np.asarray(X, dtype=np.float64)))
     iu = np.triu_indices(len(names), k=1)
     sel = corr[iu] >= threshold
     pairs = pd.DataFrame({

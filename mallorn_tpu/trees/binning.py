@@ -115,3 +115,21 @@ def apply_bins(spec: BinSpec, X: jnp.ndarray) -> jnp.ndarray:
         in_axes=(0, 1), out_axes=1,
     )(spec.edges, Xc).astype(jnp.int32)
     return jnp.where(jnp.isnan(X), spec.n_bins, b)
+
+
+def apply_bins_np(spec: BinSpec, X: np.ndarray) -> np.ndarray:
+    """Host-side ``apply_bins``: [N, F] float -> [N, F] int16.
+
+    The jitted version pays a device round-trip (through the remote
+    tunnel: host->device matrix + device->host ids) per call; stacking
+    and prediction bin on host and ship the ids once, as int16 (bin ids
+    fit 257 values; half the transfer bytes).
+    """
+    X = np.asarray(X)
+    edges = np.asarray(spec.edges)
+    Xc = np.clip(X, -1e10, 1e10)
+    out = np.empty(X.shape, np.int16)
+    for j in range(X.shape[1]):
+        out[:, j] = np.searchsorted(edges[j], Xc[:, j], side="right")
+    out[np.isnan(X)] = spec.n_bins
+    return out

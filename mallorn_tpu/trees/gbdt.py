@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mallorn_tpu.ops import hist_pallas
-from mallorn_tpu.trees.binning import BinSpec, apply_bins, fit_bins
+from mallorn_tpu.trees.binning import BinSpec, apply_bins, apply_bins_np, fit_bins
 from mallorn_tpu.trees import objectives
 
 Objective = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]
@@ -555,16 +555,18 @@ def train_gbdt(
 
     n_real = len(X_train)
     y = jnp.asarray(y_train, jnp.float32)
-    w = jnp.ones_like(y) if sample_weight is None else jnp.asarray(sample_weight, jnp.float32)
-    w = w * jnp.where(y > 0.5, scale_pos_weight, 1.0)
+    w_base = (np.ones(n_real, np.float32) if sample_weight is None
+              else np.asarray(sample_weight, np.float32))
+    w = jnp.asarray(w_base) * jnp.where(y > 0.5, scale_pos_weight, 1.0)
 
     if bin_spec is None:
-        # weight-aware quantile sketch (XGBoost semantics: non-uniform
-        # sample weights shift the bin edges)
+        # weight-aware quantile sketch (XGBoost semantics: DMatrix sample
+        # weights shift the bin edges; scale_pos_weight does NOT — it only
+        # enters the objective)
         bin_spec = fit_bins(np.asarray(X_train), params.n_bins,
-                            sample_weight=np.asarray(w))
+                            sample_weight=w_base)
 
-    binned = apply_bins(bin_spec, jnp.asarray(X_train, jnp.float32))
+    binned = jnp.asarray(apply_bins_np(bin_spec, X_train))
     pad_rows = max(pad_rows_to or 0, n_real)
     if jax.default_backend() == "tpu":
         # round the row axis to a 512 multiple so the bin-lane histogram
@@ -579,7 +581,7 @@ def train_gbdt(
     has_val = X_val is not None
     if has_val:
         n_val = len(X_val)
-        binned_val = apply_bins(bin_spec, jnp.asarray(X_val, jnp.float32))
+        binned_val = jnp.asarray(apply_bins_np(bin_spec, X_val))
         yv = jnp.asarray(y_val, jnp.float32)
         vmask = jnp.ones(n_val, bool)
         if pad_val_rows_to is not None and pad_val_rows_to > n_val:
@@ -631,6 +633,8 @@ def train_gbdt(
 def _fit_impl(binned, y, w, row_ids, binned_val, yv, vmask, keys,
               params: GBDTParams, objective, has_val: bool, axis_name,
               early_stop: int = 0):
+    binned = binned.astype(jnp.int32)
+    binned_val = binned_val.astype(jnp.int32)
     n, n_f = binned.shape
     depth = params.max_depth
     missing_id = params.n_bins
@@ -857,15 +861,18 @@ def _stack_folds(folds, params: GBDTParams, pad_rows_to, pad_val_rows_to,
             ext = pad_features_to - X.shape[1]
             X = np.concatenate([X, np.full((len(X), ext), np.nan, np.float32)], 1)
             Xv = np.concatenate([Xv, np.full((len(Xv), ext), np.nan, np.float32)], 1)
-        w = f.get("w")
-        w = np.ones(len(y_f), np.float32) if w is None else np.asarray(w, np.float32)
-        w = w * np.where(y_f > 0.5, f.get("spw", 1.0), 1.0)
+        w_base = f.get("w")
+        w_base = (np.ones(len(y_f), np.float32) if w_base is None
+                  else np.asarray(w_base, np.float32))
+        # sketch from DMatrix-style weights only; scale_pos_weight enters
+        # the objective, not the bin edges (XGBoost semantics)
+        w = w_base * np.where(y_f > 0.5, f.get("spw", 1.0), 1.0)
 
-        spec = fit_bins(X, params.n_bins, sample_weight=w)
+        spec = fit_bins(X, params.n_bins, sample_weight=w_base)
         specs.append(spec)
 
-        binned = np.asarray(apply_bins(spec, jnp.asarray(X)))
-        binned_val = np.asarray(apply_bins(spec, jnp.asarray(Xv)))
+        binned = apply_bins_np(spec, X)
+        binned_val = apply_bins_np(spec, Xv)
 
         er, ev = pad_rows_to - len(X), pad_val_rows_to - len(Xv)
         stacks["binned"].append(np.concatenate(
@@ -986,6 +993,7 @@ def _folds_executable(params: GBDTParams, objective, has_val: bool, axis_name,
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def _predict_margin_jit(forest, binned, cfg):
+    binned = binned.astype(jnp.int32)
     missing_id, depth, n_trees = cfg
     lossguide = len(forest) == 7
 
@@ -1015,7 +1023,7 @@ def predict_margin(model: GBDTModel, X: np.ndarray,
         X = np.concatenate(
             [X, np.full((len(X), f_model - X.shape[1]), np.nan, np.float32)],
             axis=1)
-    binned = apply_bins(model.bin_spec, jnp.asarray(X, jnp.float32))
+    binned = jnp.asarray(apply_bins_np(model.bin_spec, X))
     p = model.params
     if isinstance(model.forest, LGForest):
         route_depth = min(p.max_depth if p.max_depth > 0 else p.max_leaves,
@@ -1033,6 +1041,7 @@ def predict_proba(model: GBDTModel, X: np.ndarray,
 
 @functools.partial(jax.jit, static_argnums=(3,))
 def _predict_margin_folds_jit(forests, binned, n_trees, cfg):
+    binned = binned.astype(jnp.int32)
     missing_id, depth = cfg
     lossguide = len(forests) == 7
 
@@ -1071,8 +1080,8 @@ def predict_margin_folds(models, X: np.ndarray) -> np.ndarray:
         X = np.concatenate(
             [X, np.full((len(X), f_model - X.shape[1]), np.nan, np.float32)],
             axis=1)
-    Xj = jnp.asarray(X, jnp.float32)
-    binned = jnp.stack([apply_bins(m.bin_spec, Xj) for m in models])
+    binned = jnp.asarray(np.stack(
+        [apply_bins_np(m.bin_spec, X) for m in models]))
     forests = jax.tree.map(lambda *a: jnp.stack(a),
                            *[tuple(m.forest) for m in models])
     n_trees = jnp.asarray(
