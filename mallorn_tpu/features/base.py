@@ -73,11 +73,20 @@ def vmap_features(kernel: Callable[..., FeatureSet]):
 
 def feature_matrix(features: FeatureSet, names: Optional[Sequence[str]] = None
                    ) -> Tuple[np.ndarray, List[str]]:
-    """Stack a FeatureSet into an [N, F] float32 matrix + column names."""
+    """Stack a FeatureSet into an [N, F] float32 matrix + column names.
+
+    Device-resident columns are stacked ON DEVICE and fetched with ONE
+    transfer — ``np.asarray`` per column costs a tunnel round-trip each
+    (224 columns x 2 splits measured ~11 s of pure latency)."""
     if names is None:
         names = list(features.keys())
-    cols = [np.asarray(features[n], dtype=np.float32) for n in names]
-    return np.stack(cols, axis=1), list(names)
+    vals = [features[n] for n in names]
+    if any(isinstance(v, jax.Array) for v in vals):
+        X = np.asarray(jnp.stack(
+            [jnp.asarray(v, jnp.float32) for v in vals], axis=1))
+    else:
+        X = np.stack([np.asarray(v, np.float32) for v in vals], axis=1)
+    return X, list(names)
 
 
 def chunked_extract(extract_fn, packed: PackedLightcurves, *args,

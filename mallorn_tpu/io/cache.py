@@ -19,8 +19,9 @@ def save_features(path, features: Dict[str, np.ndarray],
                   object_ids: np.ndarray) -> None:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    names = list(features.keys())
-    mat = np.stack([np.asarray(features[n], dtype=np.float32) for n in names], 1)
+    from mallorn_tpu.features.base import feature_matrix
+
+    mat, names = feature_matrix(features)  # one device transfer, not F
     np.savez_compressed(path, matrix=mat, object_ids=np.asarray(object_ids).astype(str))
     path.with_suffix(".manifest.json").write_text(json.dumps({"names": names}))
 
