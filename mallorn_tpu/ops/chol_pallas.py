@@ -1,0 +1,172 @@
+"""Lane-batched Cholesky factorization for the GP fits.
+
+``jnp.linalg.cholesky`` on a [B, T, T] batch lowers to a panel loop with
+per-panel overhead that dominates at GP sizes (T ~ 64-200): measured
+69 ms for [2048, 184, 184] on v5e — ~30x above the VPU flop bound. This
+kernel puts the BATCH on the 128-wide lane axis (layout [T, T, 128]) so
+every column step of the classic right-looking factorization is a
+full-width vector op over 128 independent matrices, and the T-step
+serial chain is the only serialization.
+
+Matrices are expected SPD with a jittered diagonal (the GP adds
+yerr^2 + 1e-6); masked/padded lanes must carry identity-padded rows
+(the GP kernel builder already does this).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+B_LANES = 128
+
+
+def _chol_kernel(k_ref, out_ref, *, t: int):
+    """One program: 128 lane-batched [T, T] factorizations.
+
+    k_ref/out_ref: [1, T, T, 128] f32 in COLUMN-major-of-matrix layout:
+    ref[0, c, r, :] = K[r, c] per lane. Produces L in the same layout
+    (out_ref[0, c, r, :] = L[r, c], upper rows zeroed).
+
+    A ``fori_loop`` over columns with full-width masked updates: a
+    Python-unrolled loop with per-column shrinking slices took Mosaic
+    >10 min to compile; the masked full-[T,T,128] trailing update does
+    ~2x the flops but compiles in seconds and stays VPU-width-saturated.
+    """
+    out_ref[0, :, :, :] = k_ref[0, :, :, :]
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (t, 1, 1), 0)
+
+    def step(j, carry):
+        colraw = out_ref[0, pl.ds(j, 1), :, :][0]
+        # pivot via masked reduction (no sublane-dynamic slice needed)
+        piv = jnp.sum(jnp.where(row_iota == j, colraw, 0.0), axis=0)  # [128]
+        d = jax.lax.rsqrt(piv)
+        # column j of L, rows >= j; upper rows zeroed so the trailing
+        # outer product self-masks along the row axis
+        col = jnp.where(row_iota >= j, colraw * d[None, :], 0.0)
+        out_ref[0, pl.ds(j, 1), :, :] = col[None]
+        upd = jnp.where(col_iota > j, col[:, None, :] * col[None, :, :], 0.0)
+        out_ref[0, :, :, :] -= upd
+        return carry
+
+    jax.lax.fori_loop(0, t, step, 0)
+
+
+def _chol_inv_kernel(k_ref, linv_ref, ld_ref, a_ref, *, t: int):
+    """Fused factorization + inverse: one program computes, per lane,
+    L = chol(K), Linv = L^-1 (forward substitution interleaved with the
+    factorization — column j of L is final when row j of Linv needs it)
+    and logdet(K). a_ref: [T, T, 128] VMEM scratch holding the trailing
+    Schur complement in L-column-major layout."""
+    a_ref[:, :, :] = k_ref[0, :, :, :]
+    row2 = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
+    col2 = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
+    row3 = jax.lax.broadcasted_iota(jnp.int32, (t, 1, 1), 0)
+    # Linv starts as I (per lane)
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (t, t, 1), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (t, t, 1), 1)
+           ).astype(jnp.float32)
+    linv_ref[0, :, :, :] = jnp.broadcast_to(eye, (t, t, B_LANES))
+
+    def step(j, ld):
+        colraw = a_ref[pl.ds(j, 1), :, :][0]  # [T, 128]
+        piv = jnp.sum(jnp.where(row2 == j, colraw, 0.0), axis=0)  # [128]
+        d = jax.lax.rsqrt(piv)
+        col = jnp.where(row2 >= j, colraw * d[None, :], 0.0)  # L[:, j]
+        a_ref[pl.ds(j, 1), :, :] = col[None]
+        a_ref[:, :, :] -= jnp.where(row3 > j,
+                                    col[:, None, :] * col[None, :, :], 0.0)
+        # forward substitution: finalize row j of Linv, propagate down
+        xj = linv_ref[0, pl.ds(j, 1), :, :][0] * d[None, :]  # [T, 128]
+        linv_ref[0, pl.ds(j, 1), :, :] = xj[None]
+        linv_ref[0, :, :, :] -= jnp.where(
+            row3 > j, col[:, None, :] * xj[None, :, :], 0.0)
+        return ld + jnp.log(piv)
+
+    ld = jax.lax.fori_loop(0, t, step, jnp.zeros((B_LANES,), jnp.float32))
+    ld_ref[0, 0, :] = ld
+
+
+def cholesky_inverse_lanes(K: jnp.ndarray, interpret: bool | None = None):
+    """Batched [B, T, T] SPD -> (Linv [B, T, T] with L = chol(K),
+    logdet(K) [B]). Kinv = Linv^T @ Linv (leave that batched matmul to
+    XLA's MXU path)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, t, _ = K.shape
+    b_pad = -(-b // B_LANES) * B_LANES
+    if b_pad != b:
+        eye = jnp.broadcast_to(jnp.eye(t, dtype=K.dtype), (b_pad - b, t, t))
+        K = jnp.concatenate([K, eye], axis=0)
+    Kt = K.reshape(b_pad // B_LANES, B_LANES, t, t).transpose(0, 3, 2, 1)
+
+    kernel = functools.partial(_chol_inv_kernel, t=t)
+    mem = pltpu.ANY if interpret else pltpu.VMEM
+    linv, ld = pl.pallas_call(
+        kernel,
+        grid=(b_pad // B_LANES,),
+        in_specs=[pl.BlockSpec((1, t, t, B_LANES), lambda i: (i, 0, 0, 0),
+                               memory_space=mem)],
+        out_specs=[
+            pl.BlockSpec((1, t, t, B_LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=mem),
+            pl.BlockSpec((1, 1, B_LANES), lambda i: (i, 0, 0),
+                         memory_space=mem),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad // B_LANES, t, t, B_LANES),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((b_pad // B_LANES, 1, B_LANES), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((t, t, B_LANES), jnp.float32)],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(Kt)
+    # linv layout: linv_ref[0, r, k, :] = Linv[r, k] (row-major)
+    Linv = linv.transpose(0, 1, 2, 3).reshape(
+        b_pad // B_LANES, t, t, B_LANES).transpose(0, 3, 1, 2).reshape(
+        b_pad, t, t)
+    logdet = ld.reshape(b_pad // B_LANES, B_LANES).reshape(b_pad)
+    return Linv[:b], logdet[:b]
+
+
+def cholesky_lanes(K: jnp.ndarray, interpret: bool | None = None
+                   ) -> jnp.ndarray:
+    """Batched Cholesky: [B, T, T] SPD -> [B, T, T] lower-triangular L.
+
+    B is padded to a multiple of 128 internally (identity-padded lanes).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, t, _ = K.shape
+    b_pad = -(-b // B_LANES) * B_LANES
+    if b_pad != b:
+        eye = jnp.broadcast_to(jnp.eye(t, dtype=K.dtype),
+                               (b_pad - b, t, t))
+        K = jnp.concatenate([K, eye], axis=0)
+    # [B, T(row), T(col)] -> [B/128, T(col), T(row), 128]
+    Kt = K.reshape(b_pad // B_LANES, B_LANES, t, t).transpose(0, 3, 2, 1)
+
+    kernel = functools.partial(_chol_kernel, t=t)
+    mem = pltpu.ANY if interpret else pltpu.VMEM
+    out = pl.pallas_call(
+        kernel,
+        grid=(b_pad // B_LANES,),
+        in_specs=[pl.BlockSpec((1, t, t, B_LANES), lambda i: (i, 0, 0, 0),
+                               memory_space=mem)],
+        out_specs=pl.BlockSpec((1, t, t, B_LANES), lambda i: (i, 0, 0, 0),
+                               memory_space=mem),
+        out_shape=jax.ShapeDtypeStruct((b_pad // B_LANES, t, t, B_LANES),
+                                       jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(Kt)
+    L = out.transpose(0, 3, 2, 1).reshape(b_pad, t, t)
+    return L[:b]

@@ -119,6 +119,55 @@ def _nll_and_grad_analytic(params, dt2, dl2, y, yerr, mask):
     return nll, g
 
 
+def _batched_nll_grad_lanes(params, dt2, dl2, y, yerr, mask):
+    """Batched NLL + analytic gradient via the lane-batched fused
+    Cholesky-inverse Pallas kernel (ops/chol_pallas.py).
+
+    ``jnp.linalg.cholesky`` + ``solve_triangular`` on [N, T, T] batches
+    serialize panel-by-panel with per-panel overhead (~115 ms/step at
+    [2048, 184, 184]); the fused kernel factors 128 matrices per program
+    on the lane axis (~25 ms). Same math as _nll_and_grad_analytic.
+    """
+    from mallorn_tpu.ops.chol_pallas import cholesky_inverse_lanes
+
+    mean, log_amp, log_lt2, log_lw2 = (params[:, 0], params[:, 1],
+                                       params[:, 2], params[:, 3])
+    amp = jnp.exp(log_amp)[:, None, None]
+    ilt2 = jnp.exp(-log_lt2)[:, None, None]
+    ilw2 = jnp.exp(-log_lw2)[:, None, None]
+    r = jnp.sqrt(dt2 * ilt2 + dl2 * ilw2 + 1e-30)
+    s = _SQRT3 * r
+    es = jnp.exp(-s)
+    mm = mask[:, :, None] & mask[:, None, :]
+    K0 = jnp.where(mm, amp * (1.0 + s) * es, 0.0)
+    diag = jnp.where(mask, yerr ** 2 + _JITTER, 1.0)
+    t = dt2.shape[-1]
+    K = K0 + diag[:, :, None] * jnp.eye(t, dtype=K0.dtype)[None]
+
+    Linv, logdet = cholesky_inverse_lanes(K)
+    Kinv = jnp.einsum("bki,bkj->bij", Linv, Linv,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+    resid = jnp.where(mask, y - mean[:, None], 0.0)
+    alpha = jnp.einsum("bij,bj->bi", Kinv, resid,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    n = jnp.sum(mask, axis=1)
+    nll = 0.5 * (jnp.sum(resid * alpha, axis=1) + logdet
+                 + n * jnp.log(2.0 * jnp.pi))
+
+    W = Kinv - alpha[:, :, None] * alpha[:, None, :]
+    g = jnp.stack([
+        -jnp.sum(jnp.where(mask, alpha, 0.0), axis=1),
+        0.5 * jnp.sum(W * K0, axis=(1, 2)),
+        0.5 * jnp.sum(W * jnp.where(mm, 1.5 * amp * es * (dt2 * ilt2), 0.0),
+                      axis=(1, 2)),
+        0.5 * jnp.sum(W * jnp.where(mm, 1.5 * amp * es * (dl2 * ilw2), 0.0),
+                      axis=(1, 2)),
+    ], axis=1)
+    return nll, g
+
+
 def fit_gp_batched(
     t: jnp.ndarray,  # [N, T] times (zeroed origin)
     lam: jnp.ndarray,  # [N, T] wavelengths (Angstrom)
@@ -152,7 +201,10 @@ def fit_gp_batched(
 
     dt2 = (t[:, :, None] - t[:, None, :]) ** 2
     dl2 = (lam[:, :, None] - lam[:, None, :]) ** 2
-    grad_fn = jax.vmap(_nll_and_grad_analytic, in_axes=(0,) * 6)
+    if jax.default_backend() == "tpu":
+        grad_fn = _batched_nll_grad_lanes
+    else:
+        grad_fn = jax.vmap(_nll_and_grad_analytic, in_axes=(0,) * 6)
 
     def adam_step(carry, _):
         params, m, v, i = carry
