@@ -17,6 +17,8 @@ All progress goes to stderr; stdout carries only the JSON line.
 
 import json
 import os
+os.environ.setdefault("MALLORN_TIMERS", "1")
+import os
 import sys
 import time
 from pathlib import Path

@@ -124,19 +124,38 @@ def train_cv(
                 pad_rows_to=pad_train, pad_val_rows_to=pad_val,
                 pad_features_to=pad_features_to)
         else:
+            import os as _os
+            import time as _time
+
+            _t0 = _time.perf_counter()
             models = train_gbdt_folds(
                 folds, params, objective=objective,
                 early_stopping_rounds=early_stopping_rounds,
                 pad_rows_to=pad_train, pad_val_rows_to=pad_val,
                 pad_features_to=pad_features_to)
+            if _os.environ.get("MALLORN_TIMERS"):
+                print(f"    [cv] fit: {_time.perf_counter() - _t0:.2f}s "
+                      f"best_iters={[m.best_iteration for m in models]}",
+                      flush=True)
 
-    # all-fold test predictions as ONE vmapped forest scan (same X for
-    # every fold; 5 sequential 500-tree scans measured ~3s on TPU)
+    # all-fold test + OOF predictions as ONE vmapped forest scan each
+    # (5 sequential 500-tree scans measured ~3s on TPU)
     test_margin_folds = None
-    if batched_folds and X_test is not None and models:
+    oof_margin_folds = None
+    if batched_folds and models:
         from mallorn_tpu.trees.gbdt import predict_margin_folds
 
-        test_margin_folds = predict_margin_folds(models, X_test)
+        if X_test is not None:
+            test_margin_folds = predict_margin_folds(models, X_test)
+        _t0 = __import__("time").perf_counter()
+        oof_margin_folds = predict_margin_folds(
+            models, [X_train[va] for _, va in splits])
+        import os as _os
+        if _os.environ.get("MALLORN_TIMERS"):
+            print(f"    [cv] predicts: "
+                  f"{__import__('time').perf_counter() - _t0:.2f}s (oof"
+                  f"{'+test' if test_margin_folds is not None else ''})",
+                  flush=True)
 
     for fold, (tr, va) in enumerate(splits):
         if batched_folds:
@@ -156,20 +175,21 @@ def train_cv(
             models.append(model)
 
         use_sigmoid = sigmoid_outputs or objective is None
+
+        def _link(m):
+            return 1.0 / (1.0 + np.exp(-m)) if use_sigmoid else m
+
         if test_margin_folds is not None:
-            test_p = test_margin_folds[fold]
-            if use_sigmoid:
-                test_p = 1.0 / (1.0 + np.exp(-test_p))
+            test_p = _link(test_margin_folds[fold])
+        elif X_test is not None:
+            test_p = np.asarray(predict_margin(model, X_test))
+            test_p = _link(test_p)
         else:
             test_p = None
-        if use_sigmoid:
-            val_p = np.asarray(predict_proba(model, X_train[va]))
-            if test_p is None and X_test is not None:
-                test_p = np.asarray(predict_proba(model, X_test))
+        if oof_margin_folds is not None:
+            val_p = _link(oof_margin_folds[fold][: len(va)])
         else:
-            val_p = np.asarray(predict_margin(model, X_train[va]))
-            if test_p is None and X_test is not None:
-                test_p = np.asarray(predict_margin(model, X_test))
+            val_p = _link(np.asarray(predict_margin(model, X_train[va])))
 
         oof[va] = val_p
         if test_preds is not None:

@@ -1066,22 +1066,37 @@ def _predict_margin_folds_jit(forests, binned, n_trees, cfg):
     return jax.vmap(one)(forests, binned, n_trees)
 
 
-def predict_margin_folds(models, X: np.ndarray) -> np.ndarray:
-    """Margins for a list of same-config fold models on the SAME raw X as
-    one vmapped dispatch (per-fold bin specs applied host-side).
+def predict_margin_folds(models, X) -> np.ndarray:
+    """Margins for a list of same-config fold models as ONE vmapped
+    dispatch (per-fold bin specs applied host-side).
 
-    One [folds, N] batched forest scan instead of ``len(models)``
-    sequential 500-tree scans; per-fold best_iteration truncation is a
-    traced mask so all folds share one executable. Returns [folds, N]."""
-    X = np.asarray(X, np.float32)
+    ``X`` is either one [N, F] matrix shared by every fold (test-set
+    prediction) or a sequence of per-fold [N_i, F] matrices (OOF val
+    prediction; ragged folds are padded to the longest and trimmed by the
+    caller via the returned mask lengths). One [folds, N] batched forest
+    scan instead of ``len(models)`` sequential 500-tree scans; per-fold
+    best_iteration truncation is a traced mask so all folds share one
+    executable. Returns [folds, N_max]."""
     m0 = models[0]
     f_model = m0.bin_spec.edges.shape[0]
-    if X.shape[1] < f_model:
-        X = np.concatenate(
-            [X, np.full((len(X), f_model - X.shape[1]), np.nan, np.float32)],
-            axis=1)
-    binned = jnp.asarray(np.stack(
-        [apply_bins_np(m.bin_spec, X) for m in models]))
+
+    def prep(Xi):
+        Xi = np.asarray(Xi, np.float32)
+        if Xi.shape[1] < f_model:
+            Xi = np.concatenate(
+                [Xi, np.full((len(Xi), f_model - Xi.shape[1]), np.nan,
+                             np.float32)], axis=1)
+        return Xi
+
+    if isinstance(X, np.ndarray) and X.ndim == 2:
+        per_fold = [prep(X)] * len(models)
+    else:
+        per_fold = [prep(Xi) for Xi in X]
+    n_max = max(len(Xi) for Xi in per_fold)
+    binned = jnp.asarray(np.stack([
+        np.concatenate([apply_bins_np(m.bin_spec, Xi),
+                        np.zeros((n_max - len(Xi), f_model), np.int16)])
+        for m, Xi in zip(models, per_fold)]))
     forests = jax.tree.map(lambda *a: jnp.stack(a),
                            *[tuple(m.forest) for m in models])
     n_trees = jnp.asarray(

@@ -32,9 +32,12 @@ def test_vmapped_matches_sequential_train_cv():
 
     oofs_ref, tests_ref = [], []
     for seed in seeds:
-        # same global padding the ensemble used across all lanes
+        # same feature padding the ensemble used across all lanes
+        # (PAD_FEATURES: natural width per config since round 2)
+        from mallorn_tpu.train.pipelines import PAD_FEATURES
+
         cv = train_cv(X, y, Xt, PARAMS._replace(seed=seed), seed=seed,
-                      pad_features_to=384)
+                      pad_features_to=PAD_FEATURES)
         oofs_ref.append(cv.oof_preds)
         tests_ref.append(cv.test_preds)
     np.testing.assert_allclose(oof, np.mean(oofs_ref, 0), rtol=1e-4, atol=1e-5)
