@@ -27,15 +27,29 @@ from mallorn_tpu.trees.gbdt import (GBDTModel, GBDTParams, predict_proba,
 def threshold_sweep(y: np.ndarray, probs: np.ndarray,
                     grid: Optional[np.ndarray] = None) -> Tuple[float, float]:
     """Best (f1, threshold) over the reference grid
-    np.linspace(0.05, 0.5, n) (reference: train_v34a_bazin.py:200-208)."""
+    np.linspace(0.05, 0.5, n) (reference: train_v34a_bazin.py:200-208).
+
+    Vectorized: one [grid, N] comparison instead of per-threshold
+    ``sklearn.f1_score`` calls (measured ~5 s per CV at 200 x 3054 from
+    sklearn's per-call overhead). Identical semantics: f1 =
+    2tp / (2tp + fp + fn), 0 when the denominator is 0, first grid
+    point wins ties (matches the sequential strict-> scan)."""
     if grid is None:
         grid = np.linspace(0.05, 0.5, 100)
-    best_f1, best_t = 0.0, 0.5
-    for t in grid:
-        f1 = f1_score(y, (probs > t).astype(int))
-        if f1 > best_f1:
-            best_f1, best_t = float(f1), float(t)
-    return best_f1, best_t
+    grid = np.asarray(grid, dtype=np.float64)
+    y = np.asarray(y).astype(bool)
+    probs = np.asarray(probs, dtype=np.float64)
+    pred = probs[None, :] > grid[:, None]  # [T, N]
+    tp = (pred & y[None, :]).sum(axis=1)
+    fp = (pred & ~y[None, :]).sum(axis=1)
+    fn = ((~pred) & y[None, :]).sum(axis=1)
+    denom = 2 * tp + fp + fn
+    with np.errstate(invalid="ignore", divide="ignore"):
+        f1 = np.where(denom > 0, 2.0 * tp / np.maximum(denom, 1), 0.0)
+    best = int(np.argmax(f1))
+    if f1[best] <= 0.0:
+        return 0.0, 0.5
+    return float(f1[best]), float(grid[best])
 
 
 @dataclasses.dataclass
