@@ -957,6 +957,11 @@ def train_gbdt_folds(
             bl_bytes = len(folds) * pad_features_to * pad_rows_to * 256
             if bl_bytes > 5.5e9:
                 params = params._replace(use_binlane_hist=False)
+    import os as _os
+    import time as _time
+
+    _timers = _os.environ.get("MALLORN_TIMERS")
+    _t0 = _time.perf_counter()
     arrs, specs, n_feat_real = _stack_folds(
         folds, params, pad_rows_to, pad_val_rows_to, pad_features_to)
 
@@ -964,12 +969,19 @@ def train_gbdt_folds(
 
     fit_v = _folds_executable(params._replace(seed=0), objective, True, None,
                               int(early_stopping_rounds or 0))
+    _t1 = _time.perf_counter()
     forests, imps, hists = call_cached(
         fit_v, (arrs["binned"], arrs["y"], arrs["w"], arrs["row_ids"],
                 arrs["binned_val"], arrs["yv"], arrs["vmask"], arrs["keys"]),
         tag="gbdt_folds")
-    return _models_from_folds(forests, imps, hists, specs, params,
-                              n_feat_real, early_stopping_rounds)
+    _t2 = _time.perf_counter()
+    out = _models_from_folds(forests, imps, hists, specs, params,
+                             n_feat_real, early_stopping_rounds)
+    if _timers:
+        print(f"      [folds] stack={_t1 - _t0:.2f}s "
+              f"dispatch={_t2 - _t1:.2f}s "
+              f"models={_time.perf_counter() - _t2:.2f}s", flush=True)
+    return out
 
 
 _fit_jit = functools.partial(jax.jit, static_argnums=(8, 9, 10, 11, 12))(_fit_impl)
