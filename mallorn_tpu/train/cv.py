@@ -171,6 +171,7 @@ def train_cv(
                   f"{'+test' if test_margin_folds is not None else ''})",
                   flush=True)
 
+    _tloop = __import__("time").perf_counter()
     for fold, (tr, va) in enumerate(splits):
         if batched_folds:
             model = models[fold]
@@ -219,6 +220,10 @@ def train_cv(
             print(f"   fold {fold + 1}/{n_folds}: best_iter="
                   f"{model.best_iteration} F1={f1:.4f} @ {t:.3f}", flush=True)
 
+    import os as _os
+    if _os.environ.get("MALLORN_TIMERS"):
+        print(f"    [cv] fold-loop: "
+              f"{__import__('time').perf_counter() - _tloop:.2f}s", flush=True)
     best_f1, best_t = threshold_sweep(y, oof, threshold_grid)
     return CVResult(
         oof_preds=oof,
