@@ -201,7 +201,9 @@ def fit_gp_batched(
 
     dt2 = (t[:, :, None] - t[:, None, :]) ** 2
     dl2 = (lam[:, :, None] - lam[:, None, :]) ** 2
-    if jax.default_backend() == "tpu":
+    # lanes kernel needs ~3 x [T, T, 128] f32 resident in VMEM
+    t_dim = t.shape[1]
+    if jax.default_backend() == "tpu" and 3 * t_dim * t_dim * 128 * 4 < 95e6:
         grad_fn = _batched_nll_grad_lanes
     else:
         grad_fn = jax.vmap(_nll_and_grad_analytic, in_axes=(0,) * 6)

@@ -14,6 +14,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
@@ -158,6 +159,14 @@ def train_gbdt_folds_sharded(
     pad_rows_to = _round_up(pad_rows_to or max(len(f["X"]) for f in folds))
     pad_val_rows_to = _round_up(
         pad_val_rows_to or max(len(f["X_val"]) for f in folds))
+    if jax.default_backend() == "tpu":
+        # feature axis to the histogram kernels' 32-lane block (on a real
+        # TPU mesh the bin-lane kernel would otherwise pay a pad-copy per
+        # level); CPU-mesh tests keep natural widths so sharded forests
+        # compare exactly against the unpadded single-device reference
+        f_real_max = max(np.asarray(f["X"]).shape[1] for f in folds)
+        pad_features_to = ((max(pad_features_to or 0, f_real_max) + 31)
+                           // 32) * 32
     arrs, specs, n_feat_real = _stack_folds(
         folds, params, pad_rows_to, pad_val_rows_to, pad_features_to)
 

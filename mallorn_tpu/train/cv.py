@@ -159,9 +159,9 @@ def train_cv(
     if batched_folds and models:
         from mallorn_tpu.trees.gbdt import predict_margin_folds
 
+        _t0 = __import__("time").perf_counter()
         if X_test is not None:
             test_margin_folds = predict_margin_folds(models, X_test)
-        _t0 = __import__("time").perf_counter()
         oof_margin_folds = predict_margin_folds(
             models, [X_train[va] for _, va in splits])
         import os as _os

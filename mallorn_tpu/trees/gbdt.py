@@ -1003,24 +1003,53 @@ def _folds_executable(params: GBDTParams, objective, has_val: bool, axis_name,
     return jax.jit(jax.vmap(one))
 
 
+_PREDICT_GROUP = 10  # trees per scan step: a per-tree scan is
+# iteration-overhead-bound on TPU (~500 tiny steps); grouping unrolls
+# G trees per step for ~G x fewer scan iterations at equal flops
+
+
+def _grouped_tree_scan(trees, n_total, step_fn, n0):
+    """Scan over trees in groups of _PREDICT_GROUP. ``step_fn(tree, r)``
+    returns the [N] contribution of one tree at global index r."""
+    g = _PREDICT_GROUP
+    r_pad = -(-n_total // g) * g
+    if r_pad != n_total:
+        trees = jax.tree.map(
+            lambda a: jnp.concatenate(
+                [a, jnp.zeros((r_pad - n_total,) + a.shape[1:], a.dtype)]),
+            trees)
+    grouped = jax.tree.map(
+        lambda a: a.reshape(r_pad // g, g, *a.shape[1:]), trees)
+
+    def body(carry, inp):
+        r0, margin = carry
+        for j in range(g):
+            tree = tuple(a[j] for a in inp)
+            margin = margin + step_fn(tree, r0 + j)
+        return (r0 + g, margin), None
+
+    (_, margin), _ = jax.lax.scan(body, (jnp.asarray(0), n0), grouped)
+    return margin
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def _predict_margin_jit(forest, binned, cfg):
     binned = binned.astype(jnp.int32)
     missing_id, depth, n_trees = cfg
     lossguide = len(forest) == 7
 
-    def body(margin, tree):
-        if lossguide:
-            v = _predict_tree_lossguide(tree, binned, missing_id, depth)
-        else:
-            v = _predict_tree(tree, binned, missing_id, depth + 1)
-        return margin + v, None
-
     trees = tuple(forest)
     if n_trees is not None:
         trees = jax.tree.map(lambda a: a[:n_trees], trees)
-    margin, _ = jax.lax.scan(body, jnp.zeros(binned.shape[0], jnp.float32), trees)
-    return margin
+    r_total = trees[0].shape[0]
+
+    def step(tree, r):
+        if lossguide:
+            return _predict_tree_lossguide(tree, binned, missing_id, depth)
+        return _predict_tree(tree, binned, missing_id, depth + 1)
+
+    return _grouped_tree_scan(trees, r_total, step,
+                              jnp.zeros(binned.shape[0], jnp.float32))
 
 
 def predict_margin(model: GBDTModel, X: np.ndarray,
@@ -1058,22 +1087,20 @@ def _predict_margin_folds_jit(forests, binned, n_trees, cfg):
     lossguide = len(forests) == 7
 
     def one(forest, b, nt):
-        def body(carry, inp):
-            r, margin = carry
-            tree = inp
+        trees = tuple(forest)
+
+        def step(tree, r):
             if lossguide:
                 v = _predict_tree_lossguide(tree, b, missing_id, depth)
             else:
                 v = _predict_tree(tree, b, missing_id, depth + 1)
             # early-stopped models: trees past best_iteration are real
-            # but must not contribute (xgboost predict semantics)
-            margin = margin + jnp.where(r < nt, v, 0.0)
-            return (r + 1, margin), None
+            # but must not contribute (xgboost predict semantics); padded
+            # group slots are all-zero trees and contribute 0 either way
+            return jnp.where(r < nt, v, 0.0)
 
-        (_, margin), _ = jax.lax.scan(
-            body, (jnp.asarray(0), jnp.zeros(b.shape[0], jnp.float32)),
-            tuple(forest))
-        return margin
+        return _grouped_tree_scan(trees, trees[0].shape[0], step,
+                                  jnp.zeros(b.shape[0], jnp.float32))
 
     return jax.vmap(one)(forests, binned, n_trees)
 
