@@ -453,16 +453,29 @@ def run_seed_ensemble(
         pad_val_rows_to=max(len(l["X_val"]) for l in lanes),
         pad_features_to=PAD_FEATURES)
 
+    # one vmapped forest scan over ALL [seeds x folds] lanes for the val
+    # predictions (50 sequential 500-tree scans otherwise), and one for
+    # the shared test matrix
+    from mallorn_tpu.trees.gbdt import predict_margin_folds
+
+    val_margins = predict_margin_folds(
+        models, [X_train[va] for _, va in lane_meta])
+    test_margins = (predict_margin_folds(models, X_test)
+                    if X_test is not None else None)
+
+    def _sig(m):
+        return 1.0 / (1.0 + np.exp(-m))
+
     oofs, tests, f1s = [], [], {}
     for si, seed in enumerate(seeds):
         oof = np.zeros(len(y))
         test_cols = []
         for fi in range(n_folds):
-            model = models[si * n_folds + fi]
-            _, va = lane_meta[si * n_folds + fi]
-            oof[va] = np.asarray(predict_proba(model, X_train[va]))
-            if X_test is not None:
-                test_cols.append(np.asarray(predict_proba(model, X_test)))
+            li = si * n_folds + fi
+            _, va = lane_meta[li]
+            oof[va] = _sig(val_margins[li][: len(va)])
+            if test_margins is not None:
+                test_cols.append(_sig(test_margins[li]))
         oofs.append(oof)
         if test_cols:
             tests.append(np.mean(test_cols, axis=0))

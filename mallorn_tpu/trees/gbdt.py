@@ -168,6 +168,18 @@ def _pick_row_chunk(n: int, cap: int = 1280) -> int:
     return best
 
 
+def _gather_table(table, idx):
+    """``table[idx]`` for a SMALL table (tree node arrays, <= ~63 slots)
+    as a one-hot contraction — XLA's gather of many indices from a tiny
+    table lowers to a slow path on TPU (measured ~80 us per [7168]<-[31]
+    lookup inside the prediction scan)."""
+    k = table.shape[0]
+    onehot = idx[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+    if table.dtype == jnp.bool_:
+        return jnp.any(onehot & table[None, :], axis=1)
+    return jnp.sum(jnp.where(onehot, table[None, :], 0), axis=1)
+
+
 def _gather_feature_values(binned, feat_idx):
     """``binned[r, feat_idx[r]]`` as a one-hot masked lane-reduction.
 
@@ -377,14 +389,15 @@ def _predict_tree(tree, binned, missing_id, depth):
     node = jnp.zeros(n, jnp.int32)
     for _ in range(depth):
         cn = jnp.clip(node, 0, n_internal - 1)
-        feat = feature[cn]
+        feat = _gather_table(feature, cn)
         bv = _gather_feature_values(binned, feat)
         is_missing = bv == missing_id
-        go_left = jnp.where(is_missing, default_left[cn], bv <= split_bin[cn])
+        go_left = jnp.where(is_missing, _gather_table(default_left, cn),
+                            bv <= _gather_table(split_bin, cn))
         child = 2 * node + jnp.where(go_left, 1, 2)
-        stays = (node >= n_internal) | is_leaf[cn]
+        stays = (node >= n_internal) | _gather_table(is_leaf, cn)
         node = jnp.where(stays, node, child)
-    return leaf_value[node]
+    return _gather_table(leaf_value, node)
 
 
 def _train_tree_lossguide(binned_T, binned, grad, hess, col_mask,
