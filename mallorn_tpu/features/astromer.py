@@ -17,16 +17,25 @@ import numpy as np
 
 
 def available() -> bool:
-    return False  # external pretrained weights are not shipped
+    """Whether the ORIGINAL pretrained ASTROMER weights are present
+    (they never are in this environment — external TF download)."""
+    return False
 
 
-def extract(packed, meta=None):
-    raise NotImplementedError(
-        "ASTROMER pretrained embeddings require the external TF package + "
-        "weights (reference v26; LB-negative). Use "
-        "mallorn_tpu.features.astromer.extract_learned_embeddings for the "
-        "native equivalent."
-    )
+def extract(packed, meta=None, d_model: int = 32, n_epochs: int = 100,
+            seed: int = 0):
+    """Transformer-embedding features {emb_0..emb_{d-1}}.
+
+    The reference pools PRE-TRAINED single-band ASTROMER embeddings
+    (reference: src/features/astromer_embeddings.py:32-268, v26 —
+    LB-negative). The pretrained TF weights are an external download
+    this environment cannot ship, so this trains the in-repo time-series
+    transformer briefly on the given objects and pools its CLS states —
+    the same learned-embedding capability, natively. Callers that need
+    the exact pretrained-ASTROMER vectors should check ``available()``.
+    """
+    return extract_learned_embeddings(packed, meta, d_model=d_model,
+                                      n_epochs=n_epochs, seed=seed)
 
 
 def extract_learned_embeddings(packed, meta, d_model: int = 32,

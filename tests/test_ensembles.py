@@ -53,12 +53,17 @@ def test_two_stage_runs():
     assert len(out["test_preds"]) == n
 
 
-def test_astromer_stub():
+def test_astromer_native_default(tiny_dataset):
+    """`extract` delegates to the native learned-embedding equivalent
+    (pretrained ASTROMER weights are an external download — `available()`
+    stays honest about that)."""
     from mallorn_tpu.features import astromer
 
     assert astromer.available() is False
-    with pytest.raises(NotImplementedError):
-        astromer.extract(None)
+    packed, meta, _ = tiny_dataset
+    feats = astromer.extract(packed, meta, d_model=16, n_epochs=5)
+    assert len(feats) == 16
+    assert np.isfinite(np.asarray(feats["emb_0"])).all()
 
 
 @pytest.mark.slow
