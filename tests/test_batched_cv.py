@@ -56,3 +56,36 @@ def test_predict_margin_folds_matches_sequential():
     for i, m in enumerate(models):
         np.testing.assert_allclose(got[i], np.asarray(predict_margin(m, Xq)),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_predict_margin_folds_lossguide_and_per_fold_X():
+    """Fold-batched prediction works for leaf-wise (LGForest) models and
+    for per-fold (ragged) input lists."""
+    from mallorn_tpu.trees.gbdt import (predict_margin, predict_margin_folds,
+                                        train_gbdt)
+
+    rng = np.random.default_rng(2)
+    n = 260
+    X = rng.normal(size=(n, 7)).astype(np.float32)
+    y = ((X[:, 0] - X[:, 2] + rng.normal(0, 0.4, n)) > 0).astype(np.float32)
+    p = GBDTParams(n_rounds=25, max_depth=4, learning_rate=0.2,
+                   grow_policy="lossguide", max_leaves=7)
+    models = [train_gbdt(X, y, p._replace(seed=s)) for s in (0, 1)]
+
+    # shared X
+    Xq = rng.normal(size=(90, 7)).astype(np.float32)
+    got = predict_margin_folds(models, Xq)
+    for i, m in enumerate(models):
+        np.testing.assert_allclose(got[i], np.asarray(predict_margin(m, Xq)),
+                                   rtol=1e-5, atol=1e-6)
+
+    # ragged per-fold X list (padded internally, trimmed by caller)
+    Xa = rng.normal(size=(40, 7)).astype(np.float32)
+    Xb = rng.normal(size=(65, 7)).astype(np.float32)
+    got2 = predict_margin_folds(models, [Xa, Xb])
+    np.testing.assert_allclose(got2[0][:40],
+                               np.asarray(predict_margin(models[0], Xa)),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got2[1][:65],
+                               np.asarray(predict_margin(models[1], Xb)),
+                               rtol=1e-5, atol=1e-6)
