@@ -222,6 +222,25 @@ def cmd_train(args):
             from mallorn_tpu.io.model_store import save_cv_models
             save_cv_models(out_dir / f"models_{args.config}", cv.models,
                            cv.best_threshold, out.feature_names)
+            # v121 per-object error analysis on the winning OOF preds
+            # (reference: scripts/train_v121_error_analysis.py)
+            from mallorn_tpu.train.analysis import (error_analysis,
+                                                    print_error_analysis)
+
+            keep = [i for i, n in enumerate(names)
+                    if n not in pipelines.SHIFT_FEATURES]
+            report = error_analysis(
+                y, cv.oof_preds, cv.best_threshold,
+                X=Xtr[:, keep], feature_names=out.feature_names,
+                importance_gain=cv.importance_gain,
+                object_ids=log["object_id"].to_numpy(),
+                z=log["Z"].to_numpy() if "Z" in log else None,
+                spec_type=log["SpecType"].to_numpy() if "SpecType" in log else None,
+                other_models={k: v.oof_preds
+                              for k, v in out.variants.items() if k != key})
+            print_error_analysis(report)
+            result["confusion"] = report["confusion"]
+            result["hard_tde_count"] = report["hard_tde_count"]
         elif args.config == "v104":
             # v92d feature set + adversarial weights, then 10-seed ensemble
             out = pipelines.run_v92(Xtr, y, names, Xte,
@@ -287,7 +306,7 @@ def cmd_predict(args):
     from mallorn_tpu.data.loader import load_metadata
     from mallorn_tpu.io.model_store import load_cv_models
     from mallorn_tpu.io.submission import write_submission
-    from mallorn_tpu.trees.gbdt import predict_proba
+    from mallorn_tpu.trees.gbdt import predict_proba_folds
 
     models, man = load_cv_models(args.model)
     fams = ["features_v4", "tde_physics", "multiband_gp", "bazin"]
@@ -299,7 +318,9 @@ def cmd_predict(args):
     X = X_all[:, [name_to_idx[n] for n in man["feature_names"]]]
     X = np.nan_to_num(X, nan=np.nan, posinf=1e10, neginf=-1e10)
 
-    probs = np.mean([np.asarray(predict_proba(m, X)) for m in models], axis=0)
+    # one vmapped forest scan over all folds (a per-model predict would
+    # compile one executable per distinct best_iteration)
+    probs = predict_proba_folds(models, X).mean(axis=0)
     log = load_metadata(Path(args.data), args.split)
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)

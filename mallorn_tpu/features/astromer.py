@@ -34,6 +34,14 @@ def extract(packed, meta=None, d_model: int = 32, n_epochs: int = 100,
     the same learned-embedding capability, natively. Callers that need
     the exact pretrained-ASTROMER vectors should check ``available()``.
     """
+    import warnings
+
+    warnings.warn(
+        "pretrained ASTROMER weights are unavailable in this environment; "
+        "extract() returns natively-trained transformer embeddings instead "
+        "(semantically different features). Check available() or call "
+        "extract_learned_embeddings() directly to acknowledge.",
+        stacklevel=2)
     return extract_learned_embeddings(packed, meta, d_model=d_model,
                                       n_epochs=n_epochs, seed=seed)
 

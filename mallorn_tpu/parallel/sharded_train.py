@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from mallorn_tpu.data.packing import PackedLightcurves
 from mallorn_tpu.features import statistical
@@ -63,7 +63,7 @@ def make_sharded_training_step(mesh: Mesh, params: GBDTParams,
         local_step, mesh=mesh,
         in_specs=(packed_spec, P(axis), P(axis), P(axis)),
         out_specs=((P(), P(), P(), P(), P()), P(axis)),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(step)
 
@@ -115,7 +115,7 @@ def train_gbdt_sharded(mesh: Mesh, X, y, params: GBDTParams,
         local_fit, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
         out_specs=(tuple([P()] * n_tree_arrays), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     forest_t, imp, hist = jax.jit(fit)(binned, jnp.asarray(yp),
                                        jnp.asarray(wp), row_ids, keys)
@@ -187,7 +187,7 @@ def train_gbdt_folds_sharded(
         in_specs=(P(None, axis), P(None, axis), P(None, axis), P(None, axis),
                   P(None, axis), P(None, axis), P(None, axis), P()),
         out_specs=(tuple([P()] * n_tree_arrays), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     forests, imps, hists = jax.jit(fit)(
         arrs["binned"], arrs["y"], arrs["w"], arrs["row_ids"],

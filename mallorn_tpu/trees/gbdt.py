@@ -333,7 +333,15 @@ def _train_tree(binned_T, binned, grad, hess, col_mask, p: GBDTParams, axis_name
         best_gain, best_f, best_b, best_dl, g_tot, h_tot = _best_splits(
             hist, col_mask, p, symmetric=symmetric)
 
-        make_leaf = best_gain <= p.min_split_gain  # covers -inf / empty nodes
+        if symmetric:
+            # the shared split's gain is the LEVEL TOTAL divided by the
+            # heap width 2^d (so per-feature importances sum correctly);
+            # the stopping rule must compare the undivided total, or a
+            # nonzero min_split_gain scales with depth and prunes deep
+            # levels early (per-node semantics, depth-independent)
+            make_leaf = best_gain * n_nodes <= p.min_split_gain
+        else:
+            make_leaf = best_gain <= p.min_split_gain  # covers -inf / empty nodes
         ids = level_start + jnp.arange(n_nodes)
 
         feature = feature.at[ids].set(jnp.where(make_leaf, 0, best_f))
@@ -980,13 +988,14 @@ def train_gbdt_folds(
 
     from mallorn_tpu.utils.aot_cache import call_cached
 
-    fit_v = _folds_executable(params._replace(seed=0), objective, True, None,
-                              int(early_stopping_rounds or 0))
+    p_static = params._replace(seed=0)
+    es = int(early_stopping_rounds or 0)
+    fit_v = _folds_executable(p_static, objective, True, None, es)
     _t1 = _time.perf_counter()
     forests, imps, hists = call_cached(
         fit_v, (arrs["binned"], arrs["y"], arrs["w"], arrs["row_ids"],
                 arrs["binned_val"], arrs["yv"], arrs["vmask"], arrs["keys"]),
-        tag="gbdt_folds")
+        tag=_folds_cache_tag(p_static, objective, es))
     _t2 = _time.perf_counter()
     out = _models_from_folds(forests, imps, hists, specs, params,
                              n_feat_real, early_stopping_rounds)
@@ -995,6 +1004,20 @@ def train_gbdt_folds(
               f"dispatch={_t2 - _t1:.2f}s "
               f"models={_time.perf_counter() - _t2:.2f}s", flush=True)
     return out
+
+
+def _folds_cache_tag(params: GBDTParams, objective, early_stop: int) -> str:
+    """AOT-cache tag for the fold-vmapped fit.
+
+    The static config (params, objective, early_stop) is CLOSED OVER by
+    the vmapped executable, not a traced argument — it must be part of the
+    cache key, or two same-shaped fits with e.g. different grow_policy
+    silently share one executable (wrong model family)."""
+    from mallorn_tpu.utils.aot_cache import config_digest
+
+    obj_key = getattr(objective, "_cache_key",
+                      getattr(objective, "__qualname__", repr(objective)))
+    return f"gbdt_folds_{config_digest(params._replace(seed=0), obj_key, int(early_stop))}"
 
 
 _fit_jit = functools.partial(jax.jit, static_argnums=(8, 9, 10, 11, 12))(_fit_impl)
@@ -1160,8 +1183,12 @@ def predict_margin_folds(models, X) -> np.ndarray:
                           p.max_leaves)
     else:
         route_depth = p.max_depth
-    out = _predict_margin_folds_jit(tuple(forests), binned, n_trees,
-                                    (p.n_bins, route_depth))
+    from mallorn_tpu.utils.aot_cache import call_cached
+
+    out = call_cached(
+        _predict_margin_folds_jit,
+        (tuple(forests), binned, n_trees, (p.n_bins, route_depth)),
+        tag="gbdt_predict_folds", static_argnums=(3,))
     return np.asarray(out)
 
 

@@ -61,6 +61,11 @@ def make_focal(gamma: float, alpha: float):
         ) * g1
         return grad, hess
 
+    # distinct cache identity per (gamma, alpha): the closure's qualname is
+    # shared by every focal variant, and the AOT executable cache keys
+    # static callables by it (utils.aot_cache._leaf_sig / config_digest)
+    focal.__qualname__ = f"focal_g{gamma}_a{alpha}"
+    focal._cache_key = focal.__qualname__
     return focal
 
 

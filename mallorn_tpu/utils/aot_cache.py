@@ -25,6 +25,7 @@ from __future__ import annotations
 import hashlib
 import os
 import pickle
+import threading
 from pathlib import Path
 from typing import Any, Dict, Tuple
 
@@ -33,6 +34,9 @@ import jax
 # in-process: (id of jitted fn, tag, signature) -> loaded executable
 _LOADED: Dict[Tuple, Any] = {}
 _PKG_HASH: str | None = None
+# path -> deserialized executable (or Future thereof), filled by prefetch()
+_PREFETCHED: Dict[str, Any] = {}
+_PREFETCH_LOCK = threading.Lock()
 
 
 def cache_dir() -> Path | None:
@@ -100,6 +104,102 @@ def call_cached(jitted, args: tuple, tag: str = "fn",
     return ex(*call_args)
 
 
+def config_digest(*parts) -> str:
+    """Short stable digest of static config closed over by a jitted fn.
+
+    Mix this into the ``tag`` whenever the compiled computation depends on
+    values that are NOT traced arguments (e.g. a GBDTParams closed over by
+    a vmapped fit): two same-shaped calls with different static config must
+    never share a cache file."""
+    h = hashlib.sha256()
+    for p in parts:
+        h.update(repr(p).encode())
+        h.update(b"\x00")
+    return h.hexdigest()[:10]
+
+
+def _deserialize(path: Path):
+    from jax.experimental import serialize_executable as se
+
+    payload, in_tree, out_tree = pickle.loads(path.read_bytes())
+    return se.deserialize_and_load(payload, in_tree, out_tree)
+
+
+def _manifest_path(d: Path) -> Path:
+    return d / f"manifest_{_package_hash()[:16]}.txt"
+
+
+def _manifest_add(d: Path, name: str) -> None:
+    """Record a file as belonging to the current package generation (the
+    cache key embeds the argument signature, which prefetch can't predict;
+    the manifest is how a LATER process knows which files are current)."""
+    try:
+        mp = _manifest_path(d)
+        known = set(mp.read_text().split()) if mp.exists() else set()
+        if name not in known:
+            with open(mp, "a") as f:
+                f.write(name + "\n")
+    except Exception:
+        pass
+
+
+def prefetch(max_workers: int = 4, prune_stale: bool = True) -> None:
+    """Deserialize + device-load the current generation's executables on
+    background threads, so the pipeline's first call per tag finds them
+    ready instead of paying the load serially (first-call executable loads
+    through the tunnel are most of the cold-warm gap).
+
+    Only files listed in the current package hash's manifest are loaded —
+    a fresh generation (post-source-edit) has no manifest yet and
+    prefetches nothing. ``prune_stale``: once a current manifest exists,
+    unreferenced .aotx files from older generations are deleted.
+    """
+    d = cache_dir()
+    if d is None or not d.is_dir():
+        return
+    mp = _manifest_path(d)
+    if not mp.exists():
+        return
+    names = set(mp.read_text().split())
+    paths = [d / n for n in sorted(names) if (d / n).exists()]
+
+    if prune_stale:
+        for p in d.glob("*.aotx"):
+            if p.name not in names:
+                p.unlink(missing_ok=True)
+        for m in d.glob("manifest_*.txt"):
+            if m != mp:
+                m.unlink(missing_ok=True)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=max_workers,
+                              thread_name_prefix="aot-prefetch")
+
+    def load(p: Path):
+        try:
+            return _deserialize(p)
+        except Exception:
+            return None
+
+    with _PREFETCH_LOCK:
+        for p in paths:
+            if str(p) not in _PREFETCHED:
+                _PREFETCHED[str(p)] = pool.submit(load, p)
+    pool.shutdown(wait=False)
+
+
+def _take_prefetched(path: Path):
+    with _PREFETCH_LOCK:
+        got = _PREFETCHED.pop(str(path), None)
+    if got is None:
+        return None
+    try:
+        return got.result() if hasattr(got, "result") else got
+    except Exception:
+        return None
+
+
 def _load_or_compile(jitted, args, tag, sig, d: Path):
     from jax.experimental import serialize_executable as se
 
@@ -110,9 +210,12 @@ def _load_or_compile(jitted, args, tag, sig, d: Path):
     path = d / f"{tag}_{key}.aotx"
 
     if path.exists():
+        _manifest_add(d, path.name)
+        ex = _take_prefetched(path)
+        if ex is not None:
+            return ex
         try:
-            payload, in_tree, out_tree = pickle.loads(path.read_bytes())
-            return se.deserialize_and_load(payload, in_tree, out_tree)
+            return _deserialize(path)
         except Exception:
             path.unlink(missing_ok=True)  # stale/incompatible: recompile
 
@@ -122,6 +225,7 @@ def _load_or_compile(jitted, args, tag, sig, d: Path):
         tmp = path.with_suffix(".tmp")
         tmp.write_bytes(pickle.dumps((payload, in_tree, out_tree)))
         os.replace(tmp, path)
+        _manifest_add(d, path.name)
     except Exception:
         pass  # cache is best-effort
     return compiled

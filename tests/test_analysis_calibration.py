@@ -102,3 +102,45 @@ def test_visualizations_write_pngs(tmp_path):
     ]
     for p in paths:
         assert p.exists() and p.stat().st_size > 2000, p
+
+
+def test_error_analysis_v121():
+    """v121 capability: per-object FN/FP report, hard-TDE count, group
+    feature stats, FN recovery by other models
+    (reference: scripts/train_v121_error_analysis.py)."""
+    rng = np.random.default_rng(11)
+    n = 400
+    y = (rng.uniform(size=n) < 0.1).astype(int)
+    # preds: mostly separable, with a few engineered errors
+    p = np.where(y == 1, 0.8, 0.1) + rng.normal(0, 0.03, n)
+    fn_rows = np.where(y == 1)[0][:3]
+    p[fn_rows] = [0.05, 0.2, 0.45]       # hard (<0.1), soft, borderline
+    fp_rows = np.where(y == 0)[0][:2]
+    p[fp_rows] = 0.9
+    X = rng.normal(size=(n, 5))
+    X[:, 2] += 3.0 * y                    # informative feature
+    X[fn_rows, 2] = 0.0                   # FNs look like background on it
+    other = {"alt": np.where(y == 1, 0.9, 0.1)}  # recovers every FN
+
+    rep = analysis.error_analysis(
+        y, p, threshold=0.5, X=X,
+        feature_names=[f"f{i}" for i in range(5)],
+        importance_gain=np.array([0.1, 0.2, 5.0, 0.3, 0.1]),
+        object_ids=np.arange(1000, 1000 + n),
+        z=np.linspace(0, 1, n),
+        spec_type=np.array(["TDE" if t else "SN" for t in y]),
+        other_models=other)
+
+    c = rep["confusion"]
+    assert c["fn"] >= 3 and c["fp"] >= 2
+    assert rep["hard_tde_count"] >= 1
+    errors = rep["errors"]
+    assert set(errors["group"]) == {"FN", "FP"}
+    assert (errors["object_id"] >= 1000).all()
+    assert 1000 + fn_rows[0] in set(errors["object_id"])
+    # the informative feature should top the FN-vs-TP gap ranking
+    assert rep["group_stats"].iloc[0]["feature"] == "f2"
+    assert rep["fn_recovery"]["alt"] == c["fn"]
+    assert rep["fn_recovery"]["missed_by_all"] == 0
+    assert rep["confidence"]["borderline"]["n"] >= 1
+    analysis.print_error_analysis(rep)  # smoke: renders without error
