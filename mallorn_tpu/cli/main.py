@@ -112,6 +112,12 @@ def cmd_train(args):
 
     log = load_metadata(Path(args.data), "train")
     y = log["target"].to_numpy()
+
+    def R(params):
+        """Apply the --rounds override (tiny-scale smoke/test runs)."""
+        if args.rounds is None:
+            return params
+        return params._replace(n_rounds=args.rounds)
     object_ids_test = None
     try:
         object_ids_test = load_metadata(Path(args.data), "test")["object_id"].to_numpy()
@@ -130,8 +136,8 @@ def cmd_train(args):
         Xte = np.nan_to_num(Xte, nan=0.0, posinf=0.0, neginf=0.0) if Xte is not None else None
         # XGB + leaf-wise LGBM on the same folds, 50/50 test blend at a
         # fixed 0.5 threshold (reference: train_baseline.py:169-303)
-        cv = train_cv(Xtr, y, Xte, pipelines.BASELINE_PARAMS, verbose=True)
-        lgbm_cv = train_cv(Xtr, y, Xte, pipelines.BASELINE_LGBM_PARAMS,
+        cv = train_cv(Xtr, y, Xte, R(pipelines.BASELINE_PARAMS), verbose=True)
+        lgbm_cv = train_cv(Xtr, y, Xte, R(pipelines.BASELINE_LGBM_PARAMS),
                            verbose=True)
         result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold,
                   "lgbm_oof_f1": lgbm_cv.best_f1}
@@ -147,7 +153,7 @@ def cmd_train(args):
                 ["features_v4", "tde_physics", "multiband_gp", "bazin"])
         Xv4, v4_names = _load_matrices(args.cache, "train", ["features_v4"])
         Xv4 = pipelines._finite_or_nan(Xv4)
-        sel_cv = train_cv(Xv4, y, None, pipelines.V34A_PARAMS._replace(n_rounds=200))
+        sel_cv = train_cv(Xv4, y, None, R(pipelines.V34A_PARAMS._replace(n_rounds=200)))
         selection = select_features(Xv4, v4_names, sel_cv.importance_gain, 120)
 
         sel_idx = [v4_names.index(n) for n in selection.selected]
@@ -161,7 +167,7 @@ def cmd_train(args):
             Xte = pipelines._finite_or_nan(Xte_all[:, keep])
 
         if args.config in ("v34a", "v19"):
-            cv = train_cv(Xtr, y, Xte, pipelines.V34A_PARAMS, verbose=True)
+            cv = train_cv(Xtr, y, Xte, R(pipelines.V34A_PARAMS), verbose=True)
             result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold,
                       "n_features": len(names)}
             test_preds, threshold = cv.test_preds, cv.best_threshold
@@ -175,7 +181,7 @@ def cmd_train(args):
             params = {"v110": pipelines.V110_PARAMS,
                       "v111": pipelines.V111_PARAMS,
                       "v118": pipelines.V118_PARAMS}[args.config]
-            cv = train_cv(Xtr, y, Xte, params,
+            cv = train_cv(Xtr, y, Xte, R(params),
                           pad_features_to=pipelines.PAD_FEATURES, verbose=True)
             result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold,
                       "n_features": len(names)}
@@ -189,7 +195,7 @@ def cmd_train(args):
             for nm, p in (("xgb", pipelines.V34A_PARAMS),
                           ("lgbm", pipelines.V110_PARAMS),
                           ("cat", pipelines.V118_PARAMS)):
-                bases[nm] = train_cv(Xtr, y, Xte, p,
+                bases[nm] = train_cv(Xtr, y, Xte, R(p),
                                      pad_features_to=pipelines.PAD_FEATURES)
                 print(f"  base {nm}: OOF F1={bases[nm].best_f1:.4f}")
             out = stack_oof([b.oof_preds for b in bases.values()], y,
@@ -204,16 +210,21 @@ def cmd_train(args):
             from mallorn_tpu.train.ensembles import two_stage
 
             out = two_stage(Xtr, y, Xte,
-                            stage1_params=pipelines.V34A_PARAMS,
-                            stage2_params=pipelines.V34A_PARAMS)
+                            stage1_params=R(pipelines.V34A_PARAMS),
+                            stage2_params=R(pipelines.V34A_PARAMS))
             result = {"oof_f1": out["best_f1"], "threshold": out["threshold"],
                       "n_filtered": out["n_filtered"]}
             test_preds, threshold = out["test_preds"], out["threshold"]
         elif args.config.startswith("v92"):
-            out = pipelines.run_v92(Xtr, y, names, Xte, verbose=True)
             key = {"v92": "v92d_baseline_adv", "v92d": "v92d_baseline_adv",
                    "v92a": "v92a_focal_adv_g1_a85", "v92b": "v92b_focal_adv_g2_a85",
                    "v92c": "v92c_focal_adv_g2_a90"}[args.config]
+            # bare "v92" reproduces the full reference script (all four
+            # objective variants in one run); vNN picks one variant
+            variants = (pipelines.V92_VARIANTS if args.config == "v92"
+                        else {key: pipelines.V92_VARIANTS[key]})
+            out = pipelines.run_v92(Xtr, y, names, Xte, params=R(pipelines.V34A_PARAMS),
+                                    variants=variants, verbose=True)
             cv = out.variants[key]
             result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold,
                       "adv_auc": out.adversarial.auc,
@@ -243,7 +254,7 @@ def cmd_train(args):
             result["hard_tde_count"] = report["hard_tde_count"]
         elif args.config == "v104":
             # v92d feature set + adversarial weights, then 10-seed ensemble
-            out = pipelines.run_v92(Xtr, y, names, Xte,
+            out = pipelines.run_v92(Xtr, y, names, Xte, params=R(pipelines.V34A_PARAMS),
                                     variants={"v92d_baseline_adv":
                                               {"gamma": 0.0, "use_scale_pos_weight": True}})
             keep = [i for i, n in enumerate(names)
@@ -251,14 +262,16 @@ def cmd_train(args):
             X92tr = pipelines._finite_or_nan(np.asarray(Xtr)[:, keep])
             X92te = pipelines._finite_or_nan(np.asarray(Xte)[:, keep])
             oof, test_preds, f1s = pipelines.run_seed_ensemble(
-                X92tr, y, X92te,
+                X92tr, y, X92te, params=R(pipelines.V34A_PARAMS),
                 sample_weight=out.adversarial.sample_weights, verbose=True)
             from mallorn_tpu.train.cv import threshold_sweep
             f1, threshold = threshold_sweep(y, oof, np.linspace(0.05, 0.5, 200))
             result = {"oof_f1": f1, "threshold": threshold, "seed_f1s": f1s}
         elif args.config == "v42":
-            base = train_cv(Xtr, y, Xte, pipelines.V34A_PARAMS)
-            cv = pipelines.run_pseudo_label(Xtr, y, Xte, base.test_preds, verbose=True)
+            base = train_cv(Xtr, y, Xte, R(pipelines.V34A_PARAMS))
+            cv = pipelines.run_pseudo_label(Xtr, y, Xte, base.test_preds,
+                                            params=R(pipelines.V34A_PARAMS),
+                                            verbose=True)
             result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold}
             test_preds, threshold = cv.test_preds, cv.best_threshold
         elif args.config == "v115c":
@@ -270,7 +283,8 @@ def cmd_train(args):
                 r_te, _, _ = load_features(Path(args.cache) / "research_test.npz")
                 research_te = {n: r_te[:, i] for i, n in enumerate(r_names)}
             out = pipelines.run_v115(Xtr, y, names, research_tr, Xte,
-                                     research_te, verbose=True)
+                                     research_te, params=R(pipelines.V34A_PARAMS),
+                                     verbose=True)
             cv = out.winner
             result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold,
                       "adv_auc": out.adversarial.auc,
@@ -283,7 +297,7 @@ def cmd_train(args):
             if object_ids_test is not None:
                 p_te, _ = _load_matrices(args.cache, "test", ["powerlaw"])
                 Xte2 = pipelines._finite_or_nan(np.concatenate([Xte, p_te], axis=1))
-            cv = train_cv(Xtr2, y, Xte2, pipelines.V34A_PARAMS,
+            cv = train_cv(Xtr2, y, Xte2, R(pipelines.V34A_PARAMS),
                           pad_features_to=pipelines.PAD_FEATURES, verbose=True)
             result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold,
                       "n_features": Xtr2.shape[1]}
@@ -359,6 +373,9 @@ def main(argv=None):
                              "v92", "v92a", "v92b", "v92c", "v92d", "v104",
                              "v110", "v111", "v115c", "v118", "v119"])
     pt.add_argument("--out", default="artifacts")
+    pt.add_argument("--rounds", type=int, default=None,
+                    help="override n_rounds on every GBDT config "
+                         "(tiny-scale smoke runs)")
     pt.set_defaults(fn=cmd_train)
 
     pp = sub.add_parser("predict", help="predict from saved fold models")

@@ -53,14 +53,56 @@ def _pad_meta(meta: Metadata, n_pad: int, sharding=None) -> Metadata:
 def extract_v34a_bundle_sharded(
     mesh, packed: PackedLightcurves, meta: Metadata,
     gp_steps: int = 100,
+    chunk_size: Optional[int] = None,
 ) -> Dict[str, FeatureSet]:
     """All four v34a feature caches with extraction sharded over the mesh.
 
     Same outputs as ``pipelines.extract_v34a_bundle`` (the single-device,
     chunked path); here each device extracts its object shard and the
     host gathers [n] feature columns at the end.
+
+    ``chunk_size`` bounds peak HBM at competition scale exactly like the
+    single-device path (several kernels build [chunk, T, T] pairwise
+    buffers): objects are processed in shard-aligned chunks, each chunk
+    sharded over the mesh. None = one chunk (fine for small/test runs).
     """
     n = packed.n_objects
+    if chunk_size is not None and n > chunk_size:
+        import jax.numpy as jnp
+
+        from mallorn_tpu.data.packing import pad_objects
+
+        outs = []
+        for s in range(0, n, chunk_size):
+            e = min(s + chunk_size, n)
+            sub = PackedLightcurves(
+                *[x[s:e] if hasattr(x, "ndim") and x.ndim >= 1 else x
+                  for x in packed[:-1]], time_offset=packed.time_offset)
+            if e - s < chunk_size:
+                sub = pad_objects(sub, chunk_size)
+
+            def _slice_meta(x):
+                if x is None:
+                    return None
+                x = np.asarray(x)[s:e]
+                if e - s < chunk_size:
+                    x = np.concatenate(
+                        [x, np.zeros((chunk_size - (e - s),) + x.shape[1:],
+                                     x.dtype)])
+                return x
+
+            sub_meta = Metadata(
+                object_ids=np.asarray(meta.object_ids)[s:e],
+                z=_slice_meta(meta.z), ebv=_slice_meta(meta.ebv),
+                target=meta.target, spec_type=meta.spec_type)
+            out = extract_v34a_bundle_sharded(mesh, sub, sub_meta, gp_steps)
+            outs.append({fam: {k: np.asarray(v)[: e - s]
+                               for k, v in fs.items()}
+                         for fam, fs in out.items()})
+        return {fam: {k: np.concatenate([o[fam][k] for o in outs])
+                      for k in outs[0][fam]}
+                for fam in outs[0]}
+
     packed_sh = shard_packed(packed, mesh)
     n_pad = packed_sh.band_time.shape[0]
     sh = object_sharding(mesh)
@@ -74,7 +116,14 @@ def extract_v34a_bundle_sharded(
     tc = min(T, int(np.ceil(max(int(counts.max(initial=1)), 32) / 32) * 32))
 
     def _trim(fs: FeatureSet) -> FeatureSet:
-        return {k: np.asarray(v)[:n] for k, v in fs.items()}
+        """Gather a family with ONE device->host transfer (per-column
+        np.asarray costs a tunnel round-trip each — PERF.md round 2)."""
+        import jax.numpy as jnp
+
+        names = list(fs)
+        X = np.asarray(jnp.stack(
+            [jnp.asarray(fs[k], jnp.float32) for k in names], axis=1))
+        return {k: X[:n, i] for i, k in enumerate(names)}
 
     features_v4 = merge(
         statistical.extract(packed_sh, meta_sh),
@@ -101,14 +150,19 @@ def run_v92d_pipeline_sharded(
     gp_steps: int = 100,
     top_k: int = 120,
     adv_params=None,
+    variants: Optional[Dict] = None,
+    chunk_size: Optional[int] = None,
     verbose: bool = False,
 ):
     """The complete winning pipeline on a mesh: sharded extraction ->
-    selection CV -> v34a assembly -> adversarial validation -> v92d
+    selection CV -> v34a assembly -> adversarial validation -> v92
     training, every GBDT fold row-sharded with psum'd histograms.
 
     Mirrors reference train_v92_focal_adversarial.py:232-272 end to end.
-    Returns (V92Result, timings dict).
+    ``variants`` defaults to the winning v92d config; pass
+    ``pipelines.V92_VARIANTS`` (or any subset, incl. the focal gamma>0
+    configs) to train other variants sharded. ``chunk_size`` bounds
+    extraction HBM at competition scale. Returns (V92Result, timings).
     """
     import time
 
@@ -123,9 +177,9 @@ def run_v92d_pipeline_sharded(
 
     t0 = time.perf_counter()
     tr_bundle = extract_v34a_bundle_sharded(mesh, train_packed, train_meta,
-                                            gp_steps)
+                                            gp_steps, chunk_size=chunk_size)
     te_bundle = extract_v34a_bundle_sharded(mesh, test_packed, test_meta,
-                                            gp_steps)
+                                            gp_steps, chunk_size=chunk_size)
     timings["features_s"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -143,8 +197,8 @@ def run_v92d_pipeline_sharded(
     t0 = time.perf_counter()
     out = pipelines.run_v92(
         X_tr, train_meta.target, names, X_te, params=params,
-        variants={"v92d_baseline_adv": {"gamma": 0.0,
-                                        "use_scale_pos_weight": True}},
+        variants=variants or {"v92d_baseline_adv":
+                              {"gamma": 0.0, "use_scale_pos_weight": True}},
         adv_params=adv_params, mesh=mesh, verbose=verbose)
     timings["train_s"] = time.perf_counter() - t0
     return out, timings

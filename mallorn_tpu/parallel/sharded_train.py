@@ -189,8 +189,14 @@ def train_gbdt_folds_sharded(
         out_specs=(tuple([P()] * n_tree_arrays), P(), P()),
         check_vma=False,
     )
-    forests, imps, hists = jax.jit(fit)(
-        arrs["binned"], arrs["y"], arrs["w"], arrs["row_ids"],
-        arrs["binned_val"], arrs["yv"], arrs["vmask"], arrs["keys"])
+    from mallorn_tpu.trees.gbdt import _folds_cache_tag
+    from mallorn_tpu.utils.aot_cache import call_cached
+
+    forests, imps, hists = call_cached(
+        jax.jit(fit),
+        (arrs["binned"], arrs["y"], arrs["w"], arrs["row_ids"],
+         arrs["binned_val"], arrs["yv"], arrs["vmask"], arrs["keys"]),
+        tag=(_folds_cache_tag(p0, objective, int(early_stopping_rounds or 0))
+             + f"_mesh{n_dev}"))
     return _models_from_folds(forests, imps, hists, specs, params,
                               n_feat_real, early_stopping_rounds)

@@ -67,9 +67,14 @@ def _package_hash() -> str:
 
 def _leaf_sig(a):
     if hasattr(a, "shape"):
-        return (tuple(a.shape), str(getattr(a, "dtype", "?")))
+        # input sharding is compiled into the executable: a mesh-placed
+        # array must not share a cache entry with a single-device one
+        sh = getattr(a, "sharding", None)
+        s = "" if sh is None else (
+            f"{type(sh).__name__}:{getattr(sh, 'spec', '')}")
+        return (tuple(a.shape), str(getattr(a, "dtype", "?")), s)
     if callable(a):  # static callables (objectives): stable across processes
-        return getattr(a, "__qualname__", repr(a))
+        return getattr(a, "_cache_key", getattr(a, "__qualname__", repr(a)))
     return repr(a)
 
 
@@ -93,8 +98,11 @@ def call_cached(jitted, args: tuple, tag: str = "fn",
     if d is None:
         return jitted(*args)
 
+    # (tag, sig) fully determines the executable (tags carry a digest of
+    # any closed-over static config — _folds_cache_tag); keying off
+    # id(jitted) would defeat the memo for freshly-built jit wrappers
     sig = _signature(args)
-    memo_key = (id(jitted), tag, sig)
+    memo_key = (tag, sig)
     ex = _LOADED.get(memo_key)
     if ex is None:
         ex = _load_or_compile(jitted, args, tag, sig, d)

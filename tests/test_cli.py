@@ -1,0 +1,100 @@
+"""CLI (L6) end-to-end coverage: every config of `mallorn train` executes
+on a tiny synthetic workspace (synth -> extract -> train -> predict).
+
+The CLI is the framework's entire user surface (SURVEY.md §1 L6 — the
+reference's 166 versioned scripts); a regression in cmd_train's config
+dispatch must not ship silently (VERDICT r2 weak #3). Runs in the slow
+tier; configs share one extracted feature cache and run at --rounds 12.
+"""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from mallorn_tpu.cli.main import main
+
+pytestmark = pytest.mark.slow
+
+ALL_CONFIGS = ["baseline", "v19", "v34a", "v42", "v55", "v60",
+               "v92", "v92a", "v92b", "v92c", "v92d", "v104",
+               "v110", "v111", "v115c", "v118", "v119"]
+
+
+N_TRAIN = 120
+N_TEST = int(N_TRAIN * 2.33)  # cmd_synth's test-split sizing
+
+# the families the 17 train configs consume; the remaining extract-only
+# families are covered by their feature-module tests
+TRAIN_FAMILIES = "features_v4,tde_physics,multiband_gp,bazin,research,powerlaw"
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    ws = tmp_path_factory.mktemp("cli_ws")
+    data, cache = ws / "data", ws / "cache"
+    main(["synth", "--out", str(data), "--n-objects", str(N_TRAIN),
+          "--seed", "5"])
+    main(["extract", "--data", str(data), "--cache", str(cache),
+          "--families", TRAIN_FAMILIES, "--gp-steps", "8"])
+    return ws
+
+
+def _train(workspace, config, rounds="12"):
+    out = workspace / f"artifacts_{config}"
+    main(["train", "--data", str(workspace / "data"),
+          "--cache", str(workspace / "cache"),
+          "--config", config, "--out", str(out), "--rounds", rounds])
+    return out
+
+
+@pytest.mark.parametrize("config", ALL_CONFIGS)
+def test_train_config_end_to_end(workspace, config):
+    out = _train(workspace, config)
+
+    result_file = out / f"result_{config}.json"
+    assert result_file.exists(), f"{config}: no result json written"
+    result = json.loads(result_file.read_text())
+    assert np.isfinite(result["oof_f1"]), f"{config}: non-finite OOF F1"
+    assert 0.0 <= result["oof_f1"] <= 1.0
+    assert np.isfinite(result["threshold"])
+
+    sub = out / f"submission_{config}.csv"
+    assert sub.exists(), f"{config}: no submission written"
+    lines = sub.read_text().strip().splitlines()
+    assert len(lines) == 1 + N_TEST  # header + test objects
+    preds = np.array([int(l.rsplit(",", 1)[1]) for l in lines[1:]])
+    assert set(np.unique(preds)) <= {0, 1}
+
+
+def test_predict_from_saved_models(workspace):
+    """mallorn predict serves from the v34a fold models saved by train."""
+    out = _train(workspace, "v34a")
+    model_dir = out / "models_v34a"
+    assert model_dir.exists()
+    pred_out = workspace / "pred_out"
+    main(["predict", "--data", str(workspace / "data"),
+          "--cache", str(workspace / "cache"),
+          "--model", str(model_dir), "--split", "test",
+          "--out", str(pred_out)])
+    probs = np.load(pred_out / "probs_test.npy")
+    assert probs.shape == (N_TEST,)
+    assert np.isfinite(probs).all() and (probs >= 0).all() and (probs <= 1).all()
+    assert (pred_out / "submission_test.csv").exists()
+
+
+def test_console_entrypoint_subprocess(workspace):
+    """The installed-style entry point works as an actual process."""
+    r = subprocess.run(
+        [sys.executable, "-m", "mallorn_tpu.cli.main", "train",
+         "--data", str(workspace / "data"),
+         "--cache", str(workspace / "cache"),
+         "--config", "baseline", "--rounds", "8",
+         "--out", str(workspace / "artifacts_subproc")],
+        capture_output=True, text=True, timeout=900,
+        cwd=Path(__file__).parent.parent)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (workspace / "artifacts_subproc" / "result_baseline.json").exists()

@@ -75,3 +75,40 @@ def test_v92d_pipeline_runs_on_mesh(splits):
     assert np.isfinite(out.winner.best_f1)
     assert np.isfinite(out.winner.test_preds).all()
     assert out.adversarial.sample_weights.min() >= 0.5
+
+
+@pytest.mark.slow
+def test_sharded_chunked_extraction_matches_unchunked(splits):
+    """chunk_size bounds HBM at scale; chunking must not change features
+    (shard-aligned chunks, padded tail trimmed)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from mallorn_tpu.parallel.pipeline import extract_v34a_bundle_sharded
+
+    tr_p, tr_m, *_ = splits
+    mesh = make_mesh(8)
+    whole = extract_v34a_bundle_sharded(mesh, tr_p, tr_m, gp_steps=5)
+    # 48 objects in chunks of 16 (3 full chunks) and 40 (padded tail)
+    for cs in (16, 40):
+        chunked = extract_v34a_bundle_sharded(mesh, tr_p, tr_m, gp_steps=5,
+                                              chunk_size=cs)
+        for fam in ("features_v4", "tde_physics", "multiband_gp", "bazin"):
+            assert set(chunked[fam]) == set(whole[fam])
+            fracs = []
+            for k in whole[fam]:
+                a, b = np.asarray(chunked[fam][k]), np.asarray(whole[fam][k])
+                assert a.shape == b.shape, (fam, k)
+                both_nan = np.isnan(a) & np.isnan(b)
+                rt, at = (1e-3, 1e-4) if fam == "bazin" else (1e-4, 1e-5)
+                close = np.isclose(a, b, rtol=rt, atol=at) | both_nan
+                fracs.append(close.mean())
+                # bazin params come from 60 LM iterations: lanes near a
+                # fit bifurcation flip under different batch layouts, and
+                # cross-band consistency aggregates amplify single flips —
+                # distribution-level gates like the sharded-vs-single test
+                gate = 0.6 if fam == "bazin" else 0.98
+                assert close.mean() >= gate, (fam, k, cs, close.mean())
+            if fam == "bazin":
+                assert np.mean(fracs) >= 0.9, (cs, np.mean(fracs))
