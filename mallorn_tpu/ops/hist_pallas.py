@@ -294,3 +294,157 @@ def build_histograms_binlane(
     )(node_q[None, :], gd8, hib, bhot)
     out = out.reshape(f_pad, 2, n_nodes, n_bh * S_LO)
     return out.transpose(0, 2, 3, 1)[:f, :, :n_bins_tot, :]
+
+
+# ---------------------------------------------------------------------------
+# int8 fixed-point bin-lane variant.
+#
+# The bf16 kernel above is bounded by (a) streaming the [F, N, 128] bf16
+# one-hot from HBM every level (2 B/lane) and (b) bf16 MXU throughput.
+# Both halve with int8: the one-hot is exact in int8 (0/1), and grad/hess
+# enter as 4 base-128 *balanced* signed digits of a per-call fixed-point
+# quantization q = round(x / s * 2^26) (|q| <= 2^26, digits in [-64, 64]).
+# All matmuls are int8 x int8 -> int32 (exact); recombination
+# P0 + 128*P1 + 128^2*P2 + 128^3*P3, scaled by s / 2^26, happens in f32
+# outside the kernel. Quantization error: <= N * s * 2^-27 per histogram
+# cell (~5e-5 absolute at v92d shapes) — inside the numeric gates.
+# ---------------------------------------------------------------------------
+
+N_DIGITS_I8 = 4
+_Q_BITS = 26
+
+
+def precompute_binlane_i8(binned_T: jnp.ndarray):
+    """int8 one-hot decomposition (half the HBM stream of bf16).
+
+    Returns (bhot [F, N, 128] int8, hib [F, N] int32)."""
+    lo = jnp.bitwise_and(binned_T, S_LO - 1)
+    hib = jax.lax.shift_right_logical(binned_T, 7)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 1, S_LO), 2)
+    bhot = (lo[..., None] == lanes).astype(jnp.int8)
+    return bhot, hib
+
+
+def quantize_gh_i8(grad: jnp.ndarray, hess: jnp.ndarray):
+    """Fixed-point digit matrix [N, 8] int8 + scales (s_g, s_h).
+
+    Balanced base-128 digits of q = round(x / s * 2^26): d_i in [-64, 64],
+    reconstruction exact in int32 arithmetic."""
+    def digits(x):
+        s = jnp.maximum(jnp.max(jnp.abs(x)), 1e-30)
+        q = jnp.round(x / s * (2 ** _Q_BITS)).astype(jnp.int32)
+        ds = []
+        r = q
+        for _ in range(N_DIGITS_I8 - 1):
+            d = jnp.bitwise_and(r + 64, 127) - 64
+            ds.append(d)
+            r = jax.lax.shift_right_arithmetic(r - d, 7)
+        ds.append(r)  # |r| <= 2^26 / 128^3 = 32
+        return [d.astype(jnp.int8) for d in ds], s
+
+    gds, s_g = digits(grad)
+    hds, s_h = digits(hess)
+    return jnp.stack(gds + hds, axis=-1), s_g, s_h
+
+
+def _binlane_kernel_i8(nodeq_ref, gd_ref, hib_ref, bhot_ref, out_ref, *,
+                       n_nodes: int, rows: int, f_block: int, n_bh: int):
+    """One (feature-block, row-chunk) program; int8 MXU path.
+
+    nodeq_ref: [1, R] i32; gd_ref: [R, 8] int8 digit matrix;
+    hib_ref: [F_BLOCK, R] i32; bhot_ref: [F_BLOCK, R, 128] int8;
+    out_ref: [F_BLOCK, 8 * n_nodes * n_bh, 128] i32 per-digit partials.
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:, :, :] = jnp.zeros_like(out_ref)
+
+    cols = n_nodes * n_bh
+    node3 = nodeq_ref[0, :] * n_bh  # [R]
+    dn = (((0,), (0,)), ((), ()))
+
+    jc = jax.lax.broadcasted_iota(jnp.int32, (rows, 8 * cols), 1)
+    cidx = jax.lax.rem(jc, cols)
+    # lane-expand the 8 digit columns to [R, 8C] via a constant 0/1 int8
+    # matmul (same trick as the bf16 kernel's gsel)
+    expand = (jax.lax.broadcasted_iota(jnp.int32, (8, 8 * cols), 0)
+              == jax.lax.div(jc[:8], cols)).astype(jnp.int8)
+    gsel = jax.lax.dot_general(
+        gd_ref[:, :], expand, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32).astype(jnp.int8)  # [R, 8C]
+
+    for k in range(f_block):
+        seghi = node3 + hib_ref[k, :]  # inactive rows land at >= cols
+        AD = jnp.where(seghi[:, None] == cidx, gsel, jnp.int8(0))
+        out_ref[k, :, :] += jax.lax.dot_general(
+            AD, bhot_ref[k], dn, preferred_element_type=jnp.int32)
+
+
+def build_histograms_binlane_i8(
+    bhot: jnp.ndarray,  # [F, N, 128] int8 from precompute_binlane_i8
+    hib: jnp.ndarray,  # [F, N] i32
+    node_q: jnp.ndarray,  # [N] i32 node per row, n_nodes => inactive
+    gd: jnp.ndarray,  # [N, 8] int8 from quantize_gh_i8
+    s_g, s_h,  # traced scales
+    n_nodes: int,
+    n_bins_tot: int,
+    row_chunk: int = 2464,
+    f_block: int = F_BLOCK,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Returns [F, n_nodes, n_bins_tot, 2] f32 (grad, hess) histograms."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_bh = -(-n_bins_tot // S_LO)
+
+    f, n = hib.shape
+    f_pad = _round_up(f, f_block)
+    row_chunk = min(row_chunk, _round_up(n, 8))
+    n_pad = _round_up(n, row_chunk)
+    if n_pad != n:
+        node_q = jnp.concatenate(
+            [node_q, jnp.full((n_pad - n,), n_nodes, jnp.int32)])
+        gd = jnp.concatenate([gd, jnp.zeros((n_pad - n, 8), gd.dtype)])
+        hib = jnp.concatenate([hib, jnp.zeros((f, n_pad - n), hib.dtype)], 1)
+        bhot = jnp.concatenate(
+            [bhot, jnp.zeros((f, n_pad - n, S_LO), bhot.dtype)], 1)
+    if f_pad != f:
+        hib = jnp.concatenate(
+            [hib, jnp.zeros((f_pad - f, n_pad), hib.dtype)], 0)
+        bhot = jnp.concatenate(
+            [bhot, jnp.zeros((f_pad - f, n_pad, S_LO), bhot.dtype)], 0)
+
+    cols = n_nodes * n_bh
+    grid = (f_pad // f_block, n_pad // row_chunk)
+    kernel = functools.partial(_binlane_kernel_i8, n_nodes=n_nodes,
+                               rows=row_chunk, f_block=f_block, n_bh=n_bh)
+    mem = pltpu.ANY if interpret else pltpu.VMEM
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, row_chunk), lambda i, j: (0, j), memory_space=mem),
+            pl.BlockSpec((row_chunk, 8), lambda i, j: (j, 0), memory_space=mem),
+            pl.BlockSpec((f_block, row_chunk), lambda i, j: (i, j),
+                         memory_space=mem),
+            pl.BlockSpec((f_block, row_chunk, S_LO), lambda i, j: (i, j, 0),
+                         memory_space=mem),
+        ],
+        out_specs=pl.BlockSpec((f_block, 8 * cols, S_LO),
+                               lambda i, j: (i, 0, 0), memory_space=mem),
+        out_shape=jax.ShapeDtypeStruct((f_pad, 8 * cols, S_LO), jnp.int32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(node_q[None, :], gd, hib, bhot)
+
+    # recombine per-digit int32 partials -> f32 (grad, hess)
+    out = out.reshape(f_pad, 8, cols, S_LO).astype(jnp.float32)
+    w = jnp.asarray([1.0, 128.0, 128.0 ** 2, 128.0 ** 3], jnp.float32)
+    g = jnp.einsum("fdcl,d->fcl", out[:, 0:4], w) * (s_g / 2 ** _Q_BITS)
+    h = jnp.einsum("fdcl,d->fcl", out[:, 4:8], w) * (s_h / 2 ** _Q_BITS)
+    hist = jnp.stack([g, h], axis=-1)  # [F, cols, 128, 2]
+    hist = hist.reshape(f_pad, n_nodes, n_bh * S_LO, 2)
+    return hist[:f, :, :n_bins_tot, :]

@@ -62,6 +62,17 @@ class GBDTParams(NamedTuple):
     # per fold-lane; train_gbdt_folds auto-disables when the stacked
     # lanes would exceed the HBM budget.
     use_binlane_hist: Optional[bool] = None
+    # bin-lane histogram arithmetic: "bf16" streams a bf16 one-hot and
+    # bf16x3 grad/hess digits (exact); "int8" streams an int8 one-hot
+    # (HALF the HBM traffic) with 4-digit base-128 fixed-point grad/hess
+    # on the int8 MXU path (2x bf16 rate; quantization error ~N*2^-27
+    # relative to max|grad| — inside the split-decision noise floor).
+    hist_dtype: str = "bf16"
+    # level routing: "dynslice" fetches each level node's single split
+    # column with a dynamic slice (<= 2^d slices + [N] selects per
+    # level); "onehot" builds the full-width [N, F] feature one-hot
+    # (F x the lane work, but gather-free). Identical outputs.
+    route: str = "dynslice"
     # DART dropout boosting (LightGBM-DART capability, reference v111):
     # each round drops existing trees with this probability, fits against
     # the surviving ensemble, and renormalizes (new: 1/(k+1), dropped:
@@ -321,11 +332,17 @@ def _train_tree(binned_T, binned, grad, hess, col_mask, p: GBDTParams, axis_name
         in_level = (local >= 0) & (local < n_nodes) & ~is_leaf[jnp.clip(node, 0, n_internal - 1)]
 
         if binlane is not None:
-            bhot, hib, gd, bl_rc = binlane
+            mode, bhot, hib, payload, bl_rc = binlane
             node_q = jnp.where(in_level, local, n_nodes)
-            hist = _psum(hist_pallas.build_histograms_binlane(
-                bhot, hib, node_q, gd, n_nodes, n_bins_tot,
-                row_chunk=bl_rc), axis_name)
+            if mode == "int8":
+                gd, s_g, s_h = payload
+                hist = _psum(hist_pallas.build_histograms_binlane_i8(
+                    bhot, hib, node_q, gd, s_g, s_h, n_nodes, n_bins_tot,
+                    row_chunk=bl_rc), axis_name)
+            else:
+                hist = _psum(hist_pallas.build_histograms_binlane(
+                    bhot, hib, node_q, payload, n_nodes, n_bins_tot,
+                    row_chunk=bl_rc), axis_name)
         else:
             hist = _build_level_hist(binned_T, grad, hess, local, in_level,
                                      n_nodes, n_bins_tot, axis_name,
@@ -358,15 +375,34 @@ def _train_tree(binned_T, binned, grad, hess, col_mask, p: GBDTParams, axis_name
             jnp.where(make_leaf, 0.0, best_gain), best_f, num_segments=n_f)
 
         # route rows at this level (non-leaf nodes) to children
-        feat_n = feature[jnp.clip(node, 0, n_internal - 1)]
-        sbin_n = split_bin[jnp.clip(node, 0, n_internal - 1)]
-        dleft_n = default_left[jnp.clip(node, 0, n_internal - 1)]
-        bv = _gather_feature_values(binned, feat_n)
-        is_missing = bv == missing_id
-        go_left = jnp.where(is_missing, dleft_n, bv <= sbin_n)
-        child = 2 * node + jnp.where(go_left, 1, 2)
-        stays = ~in_level | is_leaf[jnp.clip(node, 0, n_internal - 1)]
-        node = jnp.where(stays, node, child)
+        if p.route == "dynslice":
+            # per-node: ONE dynamic slice of the split feature's column +
+            # [N]-wide selects, using this level's fresh split arrays
+            # directly (no [N]<-[31] table gathers, no [N, F] one-hot);
+            # symmetric trees share one split -> a single slice
+            n_route = 1 if symmetric else n_nodes
+            go_left = jnp.zeros(n, bool)
+            moves = jnp.zeros(n, bool)
+            for k in range(n_route):
+                at_k = in_level if symmetric else in_level & (local == k)
+                col = jax.lax.dynamic_index_in_dim(
+                    binned_T, best_f[k], 0, keepdims=False)
+                gl_k = jnp.where(col == missing_id, best_dl[k],
+                                 col <= best_b[k])
+                go_left = jnp.where(at_k, gl_k, go_left)
+                moves = moves | (at_k & ~make_leaf[k])
+            child = 2 * node + jnp.where(go_left, 1, 2)
+            node = jnp.where(moves, child, node)
+        else:
+            feat_n = feature[jnp.clip(node, 0, n_internal - 1)]
+            sbin_n = split_bin[jnp.clip(node, 0, n_internal - 1)]
+            dleft_n = default_left[jnp.clip(node, 0, n_internal - 1)]
+            bv = _gather_feature_values(binned, feat_n)
+            is_missing = bv == missing_id
+            go_left = jnp.where(is_missing, dleft_n, bv <= sbin_n)
+            child = 2 * node + jnp.where(go_left, 1, 2)
+            stays = ~in_level | is_leaf[jnp.clip(node, 0, n_internal - 1)]
+            node = jnp.where(stays, node, child)
 
     # terminal leaves at the last level. One-hot matmul instead of
     # segment_sum: XLA lowers the scatter-add to a serialized row loop on
@@ -673,7 +709,10 @@ def _fit_impl(binned, y, w, row_ids, binned_val, yv, vmask, keys,
     bl_rc = _pick_row_chunk(n)
     use_binlane = use_binlane and not lossguide and bl_rc >= 256
     if use_binlane:
-        bl_bhot, bl_hib = hist_pallas.precompute_binlane(binned_T)
+        if params.hist_dtype == "int8":
+            bl_bhot, bl_hib = hist_pallas.precompute_binlane_i8(binned_T)
+        else:
+            bl_bhot, bl_hib = hist_pallas.precompute_binlane(binned_T)
 
     def round_step(carry, rkey):
         margin, margin_val = carry
@@ -693,8 +732,12 @@ def _fit_impl(binned, y, w, row_ids, binned_val, yv, vmask, keys,
 
         binlane = None
         if use_binlane:
-            binlane = (bl_bhot, bl_hib,
-                       hist_pallas.split_gh_digits(grad, hess), bl_rc)
+            if params.hist_dtype == "int8":
+                binlane = ("int8", bl_bhot, bl_hib,
+                           hist_pallas.quantize_gh_i8(grad, hess), bl_rc)
+            else:
+                binlane = ("bf16", bl_bhot, bl_hib,
+                           hist_pallas.split_gh_digits(grad, hess), bl_rc)
 
         if lossguide:
             tree, gains, node_assign = _train_tree_lossguide(
@@ -971,11 +1014,12 @@ def train_gbdt_folds(
         # chunk must tile it exactly (padded rows are zero-weight)
         pad_rows_to = ((pad_rows_to + 511) // 512) * 512
         if params.use_binlane_hist is None:
-            # HBM gate: the precomputed [F, N, 128] bf16 bin-lane one-hot
-            # costs 256 bytes per (lane, feature, row); many-lane fits
-            # (e.g. the [seeds x folds] v104 ensemble) fall back to the
-            # per-level one-hot kernel.
-            bl_bytes = len(folds) * pad_features_to * pad_rows_to * 256
+            # HBM gate: the precomputed [F, N, 128] bin-lane one-hot costs
+            # 256 B (bf16) / 128 B (int8) per (lane, feature, row);
+            # many-lane fits (e.g. the [seeds x folds] v104 ensemble) fall
+            # back to the per-level one-hot kernel.
+            bpe = 128 if params.hist_dtype == "int8" else 256
+            bl_bytes = len(folds) * pad_features_to * pad_rows_to * bpe
             if bl_bytes > 5.5e9:
                 params = params._replace(use_binlane_hist=False)
     import os as _os

@@ -93,3 +93,71 @@ def test_row_padding_is_inert():
     for fi in range(f):
         np.add.at(want[fi], seg[fi], gh)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_binlane_i8_matches_segment_sum_interpret():
+    """int8 fixed-point bin-lane kernel vs segment_sum (interpret mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mallorn_tpu.ops.hist_pallas import (build_histograms_binlane_i8,
+                                             precompute_binlane_i8,
+                                             quantize_gh_i8)
+
+    rng = np.random.default_rng(7)
+    f, n, n_nodes, nbt = 5, 640, 4, 257
+    binned = jnp.asarray(rng.integers(0, nbt, size=(f, n)), jnp.int32)
+    node_q = jnp.asarray(rng.integers(0, n_nodes + 1, size=n), jnp.int32)
+    g = jnp.asarray(rng.normal(size=n) * 2.0, jnp.float32)
+    h = jnp.abs(g) * 0.3 + 0.01
+
+    bhot, hib = precompute_binlane_i8(binned)
+    gd, s_g, s_h = quantize_gh_i8(g, h)
+    got = np.asarray(build_histograms_binlane_i8(
+        bhot, hib, node_q, gd, s_g, s_h, n_nodes, nbt, row_chunk=256,
+        interpret=True))
+
+    seg = jnp.where(node_q < n_nodes, node_q * nbt + binned, n_nodes * nbt)
+    want = np.stack([np.asarray(jax.ops.segment_sum(
+        jnp.stack([g, h], -1), s, num_segments=n_nodes * nbt + 1)[:-1])
+        for s in np.asarray(seg)]).reshape(f, n_nodes, nbt, 2)
+    # fixed-point: error <= n * max|x| * 2^-27 per cell
+    atol = float(n * max(np.max(np.abs(g)), np.max(np.abs(h))) / 2 ** 27) * 4
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=max(atol, 1e-4))
+
+
+def test_quantize_gh_i8_roundtrip():
+    from mallorn_tpu.ops.hist_pallas import quantize_gh_i8
+
+    rng = np.random.default_rng(1)
+    g = rng.normal(size=1000).astype(np.float32) * 3
+    h = np.abs(rng.normal(size=1000)).astype(np.float32) * 0.1
+    gd, s_g, s_h = quantize_gh_i8(np.asarray(g), np.asarray(h))
+    gd = np.asarray(gd, np.int64)
+    w = np.array([1, 128, 128 ** 2, 128 ** 3], np.int64)
+    g_rec = (gd[:, 0:4] @ w) * float(s_g) / 2 ** 26
+    h_rec = (gd[:, 4:8] @ w) * float(s_h) / 2 ** 26
+    np.testing.assert_allclose(g_rec, g, atol=float(s_g) / 2 ** 26)
+    np.testing.assert_allclose(h_rec, h, atol=float(s_h) / 2 ** 26)
+    assert np.abs(gd).max() <= 64
+
+
+def test_route_dynslice_equals_onehot():
+    """Level routing via per-node dynamic slices must build the exact
+    trees the [N, F] one-hot routing builds (identical forests)."""
+    import jax
+
+    from mallorn_tpu.trees.gbdt import GBDTParams, train_gbdt
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(500, 23)).astype(np.float32)
+    X[rng.uniform(size=X.shape) < 0.1] = np.nan
+    y = ((np.nan_to_num(X[:, 0]) + np.nan_to_num(X[:, 3]) > 0.3)
+         ).astype(np.float32)
+    for policy in ("depthwise", "symmetric"):
+        p = GBDTParams(n_rounds=12, max_depth=4, subsample=0.8,
+                       grow_policy=policy)
+        m_dyn = train_gbdt(X, y, p._replace(route="dynslice"))
+        m_one = train_gbdt(X, y, p._replace(route="onehot"))
+        for a, b in zip(m_dyn.forest, m_one.forest):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
