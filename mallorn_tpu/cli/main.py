@@ -7,9 +7,9 @@ declarative interface:
   mallorn extract  --data data/ --cache cache/          feature extraction
   mallorn train    --data data/ --cache cache/ --config v92d
   mallorn predict  --data data/ --cache cache/ --model artifacts/
-Configs: baseline | v19 | v34a | v42 | v55 | v60 | v92a..d | v104 |
-v110 | v111 | v115c | v118 | v119 (BASELINE.json's list plus the
-LGBM/CatBoost-family and stacking runs).
+Configs: baseline | v16 | v19 | v34a | v42 | v55 | v60 | v92a..d |
+v104 | v110 | v111 | v115c | v118 | v119 (BASELINE.json's list plus
+the LGBM/CatBoost-family, external-data-combination and stacking runs).
 """
 
 from __future__ import annotations
@@ -290,6 +290,23 @@ def cmd_train(args):
                       "adv_auc": out.adversarial.auc,
                       "n_features": len(out.feature_names)}
             test_preds, threshold = cv.test_preds, cv.best_threshold
+        elif args.config == "v16":
+            # external-data combination: train on primary + external
+            # labeled set, folds/validation/OOF on primary only
+            # (reference: scripts/prepare_plasticc_data.py +
+            # train_v16_plasticc_combined.py:160-190)
+            if not args.data_external or not args.cache_external:
+                raise SystemExit("v16 needs --data-external and --cache-external")
+            ext_log = load_metadata(Path(args.data_external), "train")
+            y_ext = ext_log["target"].to_numpy()
+            Xe_all, _ = _load_matrices(args.cache_external, "train", fams)
+            Xe = pipelines._finite_or_nan(Xe_all[:, keep])
+            cv = train_cv(Xtr, y, Xte, R(pipelines.V34A_PARAMS),
+                          extra_train=(Xe, y_ext), verbose=True)
+            result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold,
+                      "n_external": len(y_ext),
+                      "external_tdes": int(y_ext.sum())}
+            test_preds, threshold = cv.test_preds, cv.best_threshold
         elif args.config == "v55":
             p_tr, p_names = _load_matrices(args.cache, "train", ["powerlaw"])
             Xtr2 = pipelines._finite_or_nan(np.concatenate([Xtr, p_tr], axis=1))
@@ -369,9 +386,13 @@ def main(argv=None):
     pt.add_argument("--data", required=True)
     pt.add_argument("--cache", required=True)
     pt.add_argument("--config", default="v92d",
-                    choices=["baseline", "v19", "v34a", "v42", "v55", "v60",
-                             "v92", "v92a", "v92b", "v92c", "v92d", "v104",
-                             "v110", "v111", "v115c", "v118", "v119"])
+                    choices=["baseline", "v16", "v19", "v34a", "v42", "v55",
+                             "v60", "v92", "v92a", "v92b", "v92c", "v92d",
+                             "v104", "v110", "v111", "v115c", "v118", "v119"])
+    pt.add_argument("--data-external", default=None,
+                    help="external labeled dataset dir (v16)")
+    pt.add_argument("--cache-external", default=None,
+                    help="feature cache for the external dataset (v16)")
     pt.add_argument("--out", default="artifacts")
     pt.add_argument("--rounds", type=int, default=None,
                     help="override n_rounds on every GBDT config "

@@ -88,6 +88,7 @@ def train_cv(
     pad_features_to: Optional[int] = None,
     batched_folds: bool = True,
     mesh=None,
+    extra_train: Optional[Tuple] = None,
     verbose: bool = False,
 ) -> CVResult:
     """Stratified K-fold GBDT training with OOF + averaged test predictions.
@@ -103,9 +104,24 @@ def train_cv(
     sharded over the mesh and histograms psum'd over ICI, producing the
     exact same forests as single-device training (global-row-id
     subsampling keeps even subsample < 1 identical).
+
+    ``extra_train``: ``(X_ext, y_ext[, w_ext])`` — an EXTERNAL labeled
+    set appended to every fold's training rows while folds/validation/OOF
+    remain on the primary data only (the v16 PLAsTiCC-combination
+    recipe: train on combined, validate on the competition distribution;
+    reference scripts/prepare_plasticc_data.py +
+    train_v16_plasticc_combined.py:160-190).
     """
     y = np.asarray(y)
     skf = StratifiedKFold(n_splits=n_folds, shuffle=True, random_state=seed)
+
+    X_ext = y_ext = w_ext = None
+    if extra_train is not None:
+        X_ext = np.asarray(extra_train[0], np.float32)
+        y_ext = np.asarray(extra_train[1])
+        w_ext = (np.asarray(extra_train[2], np.float32)
+                 if len(extra_train) > 2 and extra_train[2] is not None
+                 else np.ones(len(y_ext), np.float32))
 
     oof = np.zeros(len(y), dtype=np.float64)
     test_preds = (np.zeros((len(X_test), n_folds)) if X_test is not None else None)
@@ -115,20 +131,34 @@ def train_cv(
 
     # pad every fold to a shared shape -> one compiled training graph
     splits = list(skf.split(X_train, y))
-    pad_train = max(len(tr) for tr, _ in splits)
+    n_ext = 0 if X_ext is None else len(X_ext)
+    pad_train = max(len(tr) for tr, _ in splits) + n_ext
     pad_val = max(len(va) for _, va in splits)
 
-    def fold_spw(tr):
-        return float((y[tr] == 0).sum() / max((y[tr] == 1).sum(), 1)) \
+    def fold_rows(tr):
+        """Primary fold-train rows (+ the full external set, v16)."""
+        Xf, yf = X_train[tr], y[tr]
+        wf = sample_weight[tr] if sample_weight is not None else None
+        if X_ext is not None:
+            Xf = np.vstack([np.asarray(Xf, np.float32), X_ext])
+            yf = np.concatenate([yf, y_ext])
+            wf = np.concatenate(
+                [np.ones(len(tr), np.float32) if wf is None else wf, w_ext])
+        return Xf, yf, wf
+
+    def fold_spw(yf):
+        return float((yf == 0).sum() / max((yf == 1).sum(), 1)) \
             if use_scale_pos_weight else 1.0
 
     if batched_folds:
-        folds = [{
-            "X": X_train[tr], "y": y[tr],
-            "w": sample_weight[tr] if sample_weight is not None else None,
-            "X_val": X_train[va], "y_val": y[va],
-            "spw": fold_spw(tr), "seed": params.seed,
-        } for tr, va in splits]
+        folds = []
+        for tr, va in splits:
+            Xf, yf, wf = fold_rows(tr)
+            folds.append({
+                "X": Xf, "y": yf, "w": wf,
+                "X_val": X_train[va], "y_val": y[va],
+                "spw": fold_spw(yf), "seed": params.seed,
+            })
         if mesh is not None:
             from mallorn_tpu.parallel.sharded_train import train_gbdt_folds_sharded
 
@@ -176,11 +206,11 @@ def train_cv(
         if batched_folds:
             model = models[fold]
         else:
-            w = sample_weight[tr] if sample_weight is not None else None
+            Xf, yf, w = fold_rows(tr)
             model = train_gbdt(
-                X_train[tr], y[tr], params,
+                Xf, yf, params,
                 sample_weight=w,
-                scale_pos_weight=fold_spw(tr),
+                scale_pos_weight=fold_spw(yf),
                 objective=objective,
                 X_val=X_train[va], y_val=y[va],
                 early_stopping_rounds=early_stopping_rounds,

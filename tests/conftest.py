@@ -36,6 +36,19 @@ import pytest  # noqa: E402
 REFERENCE_PATH = "/root/reference"
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bound_xla_state():
+    """Drop compiled-executable caches after every test module.
+
+    A single process running the FULL suite (default + slow tiers)
+    accumulates XLA:CPU state until a late 8-device-mesh test dies with a
+    fatal signal (the round-2 workaround was a two-process split). The
+    persistent compile cache (.jax_cache_tests) makes re-compiles after a
+    clear cheap, so bounding live state per module costs little."""
+    yield
+    jax.clear_caches()
+
+
 def reference_available() -> bool:
     return os.path.isdir(os.path.join(REFERENCE_PATH, "src"))
 

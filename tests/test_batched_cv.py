@@ -89,3 +89,26 @@ def test_predict_margin_folds_lossguide_and_per_fold_X():
     np.testing.assert_allclose(got2[1][:65],
                                np.asarray(predict_margin(models[1], Xb)),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_extra_train_rows_shape_oof_on_primary_only():
+    """v16 combination: external rows enter training, never validation."""
+    from mallorn_tpu.train.cv import train_cv
+    from mallorn_tpu.trees.gbdt import GBDTParams
+
+    rng = np.random.default_rng(5)
+    n, f = 300, 12
+    X = rng.normal(size=(n, f)).astype(np.float32)
+    y = (X[:, 0] + 0.3 * rng.normal(size=n) > 0.8).astype(int)
+    # external set with an OBVIOUS extra signal column the primary lacks
+    Xe = rng.normal(size=(150, f)).astype(np.float32)
+    ye = (Xe[:, 0] > 0.8).astype(int)
+
+    p = GBDTParams(n_rounds=20, max_depth=3)
+    cv = train_cv(X, y, None, p, extra_train=(Xe, ye))
+    assert cv.oof_preds.shape == (n,)       # OOF is primary-only
+    assert np.isfinite(cv.best_f1)
+    # the fold models actually saw the external rows: their padded row
+    # budget includes them
+    cv_plain = train_cv(X, y, None, p)
+    assert not np.allclose(cv.oof_preds, cv_plain.oof_preds)

@@ -98,3 +98,23 @@ def test_console_entrypoint_subprocess(workspace):
         cwd=Path(__file__).parent.parent)
     assert r.returncode == 0, r.stderr[-2000:]
     assert (workspace / "artifacts_subproc" / "result_baseline.json").exists()
+
+
+def test_train_v16_external_combination(workspace, tmp_path_factory):
+    """v16: external labeled data joins every fold's training rows;
+    validation/OOF stay on the primary data."""
+    ext = tmp_path_factory.mktemp("cli_ext")
+    ext_data, ext_cache = ext / "data", ext / "cache"
+    main(["synth", "--out", str(ext_data), "--n-objects", "80", "--seed", "77"])
+    main(["extract", "--data", str(ext_data), "--cache", str(ext_cache),
+          "--families", "features_v4,tde_physics,multiband_gp,bazin",
+          "--gp-steps", "8"])
+    out = workspace / "artifacts_v16"
+    main(["train", "--data", str(workspace / "data"),
+          "--cache", str(workspace / "cache"),
+          "--config", "v16", "--out", str(out), "--rounds", "12",
+          "--data-external", str(ext_data),
+          "--cache-external", str(ext_cache)])
+    result = json.loads((out / "result_v16.json").read_text())
+    assert result["n_external"] == 80
+    assert np.isfinite(result["oof_f1"])
