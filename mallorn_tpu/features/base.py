@@ -82,11 +82,19 @@ def feature_matrix(features: FeatureSet, names: Optional[Sequence[str]] = None
         names = list(features.keys())
     vals = [features[n] for n in names]
     if any(isinstance(v, jax.Array) for v in vals):
-        X = np.asarray(jnp.stack(
-            [jnp.asarray(v, jnp.float32) for v in vals], axis=1))
+        from mallorn_tpu.utils.aot_cache import call_cached
+
+        X = np.asarray(call_cached(
+            _stack_jit, tuple(jnp.asarray(v, jnp.float32) for v in vals),
+            tag="feat_stack"))
     else:
         X = np.stack([np.asarray(v, np.float32) for v in vals], axis=1)
     return X, list(names)
+
+
+@jax.jit
+def _stack_jit(*cols):
+    return jnp.stack(cols, axis=1)
 
 
 def chunked_extract(extract_fn, packed: PackedLightcurves, *args,

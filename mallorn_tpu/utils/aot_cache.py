@@ -217,17 +217,36 @@ def _load_or_compile(jitted, args, tag, sig, d: Path):
     d.mkdir(parents=True, exist_ok=True)
     path = d / f"{tag}_{key}.aotx"
 
+    import sys
+    import time as _time
+
+    timers = os.environ.get("MALLORN_TIMERS")
     if path.exists():
         _manifest_add(d, path.name)
+        t0 = _time.perf_counter()
         ex = _take_prefetched(path)
         if ex is not None:
+            if timers:
+                print(f"      [aot] {tag}: prefetched "
+                      f"(waited {_time.perf_counter() - t0:.2f}s)",
+                      file=sys.stderr, flush=True)
             return ex
         try:
-            return _deserialize(path)
+            ex = _deserialize(path)
+            if timers:
+                print(f"      [aot] {tag}: load "
+                      f"{_time.perf_counter() - t0:.2f}s "
+                      f"({path.stat().st_size / 1e6:.0f} MB)",
+                      file=sys.stderr, flush=True)
+            return ex
         except Exception:
             path.unlink(missing_ok=True)  # stale/incompatible: recompile
 
+    t0 = _time.perf_counter()
     compiled = jitted.lower(*args).compile()
+    if timers:
+        print(f"      [aot] {tag}: COMPILE {_time.perf_counter() - t0:.1f}s",
+              file=sys.stderr, flush=True)
     try:
         payload, in_tree, out_tree = se.serialize(compiled)
         tmp = path.with_suffix(".tmp")
