@@ -227,8 +227,13 @@ def _binlane_kernel(nodeq_ref, gd_ref, hib_ref, bhot_ref, out_ref, *,
     for k in range(f_block):
         seghi = node3 + hib_ref[k, :]  # inactive rows land at >= cols
         AD = jnp.where(seghi[:, None] == cidx, gsel, jnp.bfloat16(0.0))
+        B = bhot_ref[k]
+        if B.dtype != jnp.bfloat16:
+            # int8-streamed one-hot: HALF the HBM bytes; the convert is
+            # one full-width VPU op hidden under the halved DMA
+            B = B.astype(jnp.bfloat16)
         o = jax.lax.dot_general(
-            AD, bhot_ref[k], dn, preferred_element_type=jnp.float32)  # [6C,128]
+            AD, B, dn, preferred_element_type=jnp.float32)  # [6C,128]
         out_ref[k, 0, :, :] += (o[0:cols] + o[cols:2 * cols]
                                 + o[2 * cols:3 * cols])
         out_ref[k, 1, :, :] += (o[3 * cols:4 * cols] + o[4 * cols:5 * cols]

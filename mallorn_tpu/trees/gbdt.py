@@ -709,7 +709,10 @@ def _fit_impl(binned, y, w, row_ids, binned_val, yv, vmask, keys,
     bl_rc = _pick_row_chunk(n)
     use_binlane = use_binlane and not lossguide and bl_rc >= 256
     if use_binlane:
-        if params.hist_dtype == "int8":
+        if params.hist_dtype in ("int8", "i8bf16"):
+            # i8bf16: int8 one-hot stream (half HBM), converted to bf16
+            # in-kernel, bf16 MXU matmuls (measured: the pure-int8 dot
+            # path is NOT faster on this Mosaic version)
             bl_bhot, bl_hib = hist_pallas.precompute_binlane_i8(binned_T)
         else:
             bl_bhot, bl_hib = hist_pallas.precompute_binlane(binned_T)
@@ -735,7 +738,7 @@ def _fit_impl(binned, y, w, row_ids, binned_val, yv, vmask, keys,
             if params.hist_dtype == "int8":
                 binlane = ("int8", bl_bhot, bl_hib,
                            hist_pallas.quantize_gh_i8(grad, hess), bl_rc)
-            else:
+            else:  # "bf16" / "i8bf16" share the bf16-digit kernel
                 binlane = ("bf16", bl_bhot, bl_hib,
                            hist_pallas.split_gh_digits(grad, hess), bl_rc)
 
@@ -1018,7 +1021,7 @@ def train_gbdt_folds(
             # 256 B (bf16) / 128 B (int8) per (lane, feature, row);
             # many-lane fits (e.g. the [seeds x folds] v104 ensemble) fall
             # back to the per-level one-hot kernel.
-            bpe = 128 if params.hist_dtype == "int8" else 256
+            bpe = 128 if params.hist_dtype in ("int8", "i8bf16") else 256
             bl_bytes = len(folds) * pad_features_to * pad_rows_to * bpe
             if bl_bytes > 5.5e9:
                 params = params._replace(use_binlane_hist=False)

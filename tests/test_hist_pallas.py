@@ -161,3 +161,29 @@ def test_route_dynslice_equals_onehot():
         m_one = train_gbdt(X, y, p._replace(route="onehot"))
         for a, b in zip(m_dyn.forest, m_one.forest):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_binlane_i8bf16_matches_bf16_interpret():
+    """int8-streamed one-hot + bf16 kernel == bf16 one-hot exactly."""
+    import jax.numpy as jnp
+
+    from mallorn_tpu.ops.hist_pallas import (build_histograms_binlane,
+                                             precompute_binlane,
+                                             precompute_binlane_i8,
+                                             split_gh_digits)
+
+    rng = np.random.default_rng(9)
+    f, n, n_nodes, nbt = 3, 512, 2, 257
+    binned = jnp.asarray(rng.integers(0, nbt, size=(f, n)), jnp.int32)
+    node_q = jnp.asarray(rng.integers(0, n_nodes + 1, size=n), jnp.int32)
+    g = jnp.asarray(rng.normal(size=n), jnp.float32)
+    gd = split_gh_digits(g, jnp.abs(g) + 0.1)
+
+    b16, hib = precompute_binlane(binned)
+    b8, hib8 = precompute_binlane_i8(binned)
+    np.testing.assert_array_equal(np.asarray(hib), np.asarray(hib8))
+    a = build_histograms_binlane(b16, hib, node_q, gd, n_nodes, nbt,
+                                 row_chunk=256, interpret=True)
+    b = build_histograms_binlane(b8, hib8, node_q, gd, n_nodes, nbt,
+                                 row_chunk=256, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
