@@ -63,11 +63,13 @@ class GBDTParams(NamedTuple):
     # lanes would exceed the HBM budget.
     use_binlane_hist: Optional[bool] = None
     # bin-lane histogram arithmetic: "bf16" streams a bf16 one-hot and
-    # bf16x3 grad/hess digits (exact); "int8" streams an int8 one-hot
-    # (HALF the HBM traffic) with 4-digit base-128 fixed-point grad/hess
-    # on the int8 MXU path (2x bf16 rate; quantization error ~N*2^-27
-    # relative to max|grad| — inside the split-decision noise floor).
-    hist_dtype: str = "bf16"
+    # bf16x3 grad/hess digits (exact); "i8bf16" streams an int8 one-hot
+    # (HALF the HBM traffic and binlane footprint) converted to bf16
+    # in-kernel — exactly equal outputs, measured fastest on v5e; "int8"
+    # additionally uses 4-digit base-128 fixed-point grad/hess on an
+    # int8 MXU dot (measured SLOWER on this Mosaic version — no native
+    # int8 path — and only quantization-exact to ~N*2^-27).
+    hist_dtype: str = "i8bf16"
     # level routing: "dynslice" fetches each level node's single split
     # column with a dynamic slice (<= 2^d slices + [N] selects per
     # level); "onehot" builds the full-width [N, F] feature one-hot
