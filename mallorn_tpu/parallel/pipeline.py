@@ -171,34 +171,38 @@ def run_v92d_pipeline_sharded(
     from mallorn_tpu.train.adversarial import ADV_PARAMS, adversarial_validation
     from mallorn_tpu.train.cv import train_cv
     from mallorn_tpu.train.feature_selection import select_features
+    from mallorn_tpu.utils.aot_cache import tag_suffix
 
     params = params or pipelines.V34A_PARAMS
     timings = {}
 
-    t0 = time.perf_counter()
-    tr_bundle = extract_v34a_bundle_sharded(mesh, train_packed, train_meta,
-                                            gp_steps, chunk_size=chunk_size)
-    te_bundle = extract_v34a_bundle_sharded(mesh, test_packed, test_meta,
-                                            gp_steps, chunk_size=chunk_size)
-    timings["features_s"] = time.perf_counter() - t0
+    with tag_suffix("_mesh"):
+        t0 = time.perf_counter()
+        tr_bundle = extract_v34a_bundle_sharded(
+            mesh, train_packed, train_meta, gp_steps, chunk_size=chunk_size)
+        te_bundle = extract_v34a_bundle_sharded(
+            mesh, test_packed, test_meta, gp_steps, chunk_size=chunk_size)
+        timings["features_s"] = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    Xv4, v4_names = feature_matrix(tr_bundle["features_v4"])
-    Xv4 = pipelines._finite_or_nan(Xv4)
-    sel_cv = train_cv(Xv4, train_meta.target, None,
-                      selection_params or params,
-                      pad_features_to=pipelines.PAD_FEATURES,
-                      mesh=mesh, verbose=False)
-    selection = select_features(Xv4, v4_names, sel_cv.importance_gain, top_k)
-    X_tr, names = pipelines.assemble_v34a_matrix(tr_bundle, selection.selected)
-    X_te, _ = pipelines.assemble_v34a_matrix(te_bundle, selection.selected)
-    timings["selection_s"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        Xv4, v4_names = feature_matrix(tr_bundle["features_v4"])
+        Xv4 = pipelines._finite_or_nan(Xv4)
+        sel_cv = train_cv(Xv4, train_meta.target, None,
+                          selection_params or params,
+                          pad_features_to=pipelines.PAD_FEATURES,
+                          mesh=mesh, verbose=False)
+        selection = select_features(Xv4, v4_names, sel_cv.importance_gain,
+                                    top_k)
+        X_tr, names = pipelines.assemble_v34a_matrix(tr_bundle,
+                                                     selection.selected)
+        X_te, _ = pipelines.assemble_v34a_matrix(te_bundle, selection.selected)
+        timings["selection_s"] = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    out = pipelines.run_v92(
-        X_tr, train_meta.target, names, X_te, params=params,
-        variants=variants or {"v92d_baseline_adv":
-                              {"gamma": 0.0, "use_scale_pos_weight": True}},
-        adv_params=adv_params, mesh=mesh, verbose=verbose)
-    timings["train_s"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = pipelines.run_v92(
+            X_tr, train_meta.target, names, X_te, params=params,
+            variants=variants or {"v92d_baseline_adv":
+                                  {"gamma": 0.0, "use_scale_pos_weight": True}},
+            adv_params=adv_params, mesh=mesh, verbose=verbose)
+        timings["train_s"] = time.perf_counter() - t0
     return out, timings

@@ -104,10 +104,10 @@ def train_gbdt_sharded(mesh: Mesh, X, y, params: GBDTParams,
     row_ids = jnp.arange(n_pad, dtype=jnp.int32)
 
     def local_fit(binned_l, y_l, w_l, rid_l, keys_l):
-        f, imp, hist = _fit_jit(binned_l, y_l, w_l, rid_l, binned_l[:1],
-                                y_l[:1], jnp.ones(1, bool), keys_l,
-                                params._replace(seed=0),
-                                objectives.logistic, False, axis)
+        f, imp, hist, _mv = _fit_jit(binned_l, y_l, w_l, rid_l, binned_l[:1],
+                                     y_l[:1], jnp.ones(1, bool), keys_l,
+                                     params._replace(seed=0),
+                                     objectives.logistic, False, axis)
         return tuple(f), imp, hist
 
     n_tree_arrays = 7 if params.grow_policy == "lossguide" else 5
@@ -174,10 +174,10 @@ def train_gbdt_folds_sharded(
 
     def local_fit(b, y_, w_, rid, bv, yv_, vm, ks):
         def one(b1, y1, w1, r1, bv1, yv1, vm1, k1):
-            f, imp, hist = _fit_impl(b1, y1, w1, r1, bv1, yv1, vm1, k1, p0,
-                                     objective, True, axis,
-                                     int(early_stopping_rounds or 0))
-            return tuple(f), imp, hist  # plain tuple: matches out_specs
+            f, imp, hist, best_mv = _fit_impl(
+                b1, y1, w1, r1, bv1, yv1, vm1, k1, p0,
+                objective, True, axis, int(early_stopping_rounds or 0))
+            return tuple(f), imp, hist, best_mv  # plain tuple: matches out_specs
 
         return jax.vmap(one)(b, y_, w_, rid, bv, yv_, vm, ks)
 
@@ -186,17 +186,20 @@ def train_gbdt_folds_sharded(
         local_fit, mesh=mesh,
         in_specs=(P(None, axis), P(None, axis), P(None, axis), P(None, axis),
                   P(None, axis), P(None, axis), P(None, axis), P()),
-        out_specs=(tuple([P()] * n_tree_arrays), P(), P()),
+        # best_mv is computed shard-locally on each shard's contiguous
+        # block of val rows; P(None, axis) reassembles the full vector
+        out_specs=(tuple([P()] * n_tree_arrays), P(), P(), P(None, axis)),
         check_vma=False,
     )
     from mallorn_tpu.trees.gbdt import _folds_cache_tag
     from mallorn_tpu.utils.aot_cache import call_cached
 
-    forests, imps, hists = call_cached(
+    forests, imps, hists, best_mvs = call_cached(
         jax.jit(fit),
         (arrs["binned"], arrs["y"], arrs["w"], arrs["row_ids"],
          arrs["binned_val"], arrs["yv"], arrs["vmask"], arrs["keys"]),
         tag=(_folds_cache_tag(p0, objective, int(early_stopping_rounds or 0))
              + f"_mesh{n_dev}"))
     return _models_from_folds(forests, imps, hists, specs, params,
-                              n_feat_real, early_stopping_rounds)
+                              n_feat_real, early_stopping_rounds,
+                              best_mvs=best_mvs)

@@ -183,7 +183,10 @@ def train_cv(
                       flush=True)
 
     # all-fold test + OOF predictions as ONE vmapped forest scan each
-    # (5 sequential 500-tree scans measured ~3s on TPU)
+    # (5 sequential 500-tree scans measured ~3s on TPU). OOF margins come
+    # straight from the fit when it tracked them (GBDTModel.val_margin:
+    # the boosting loop holds the best-iteration val margins, making a
+    # separate predict pass — and its executable upload — redundant).
     test_margin_folds = None
     oof_margin_folds = None
     if batched_folds and models:
@@ -192,8 +195,11 @@ def train_cv(
         _t0 = __import__("time").perf_counter()
         if X_test is not None:
             test_margin_folds = predict_margin_folds(models, X_test)
-        oof_margin_folds = predict_margin_folds(
-            models, [X_train[va] for _, va in splits])
+        if all(m.val_margin is not None for m in models):
+            oof_margin_folds = [m.val_margin for m in models]
+        else:
+            oof_margin_folds = predict_margin_folds(
+                models, [X_train[va] for _, va in splits])
         import os as _os
         if _os.environ.get("MALLORN_TIMERS"):
             print(f"    [cv] predicts: "
@@ -233,6 +239,8 @@ def train_cv(
             test_p = None
         if oof_margin_folds is not None:
             val_p = _link(oof_margin_folds[fold][: len(va)])
+        elif model.val_margin is not None:
+            val_p = _link(model.val_margin[: len(va)])
         else:
             val_p = _link(np.asarray(predict_margin(model, X_train[va])))
 

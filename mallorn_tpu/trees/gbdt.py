@@ -124,6 +124,12 @@ class GBDTModel(NamedTuple):
     importance_gain: jnp.ndarray  # [F]
     eval_history: jnp.ndarray  # [R] val logloss (nan if no val set)
     best_iteration: int  # host-side; -1 before finalize
+    # validation-set margins AT best_iteration, tracked inside the fit
+    # (the boosting loop already holds every round's val margins — a
+    # separate OOF predict pass would re-run the forest AND cost a
+    # 10-30 MB executable upload through the tunnel per CV). None on
+    # paths that don't early-stop (DART, plain scan).
+    val_margin: Optional[np.ndarray] = None
 
 
 def _shrink(g, alpha):
@@ -336,15 +342,19 @@ def _train_tree(binned_T, binned, grad, hess, col_mask, p: GBDTParams, axis_name
         if binlane is not None:
             mode, bhot, hib, payload, bl_rc = binlane
             node_q = jnp.where(in_level, local, n_nodes)
+            # deep levels widen the per-feature matmul (6C columns grows
+            # with n_nodes): a narrower feature block measured ~10%
+            # faster there (fb=16 2.55 ms vs fb=32 2.89 ms at nodes=16)
+            fb = 16 if n_nodes >= 8 else hist_pallas.F_BLOCK
             if mode == "int8":
                 gd, s_g, s_h = payload
                 hist = _psum(hist_pallas.build_histograms_binlane_i8(
                     bhot, hib, node_q, gd, s_g, s_h, n_nodes, n_bins_tot,
-                    row_chunk=bl_rc), axis_name)
+                    row_chunk=bl_rc, f_block=fb), axis_name)
             else:
                 hist = _psum(hist_pallas.build_histograms_binlane(
                     bhot, hib, node_q, payload, n_nodes, n_bins_tot,
-                    row_chunk=bl_rc), axis_name)
+                    row_chunk=bl_rc, f_block=fb), axis_name)
         else:
             hist = _build_level_hist(binned_T, grad, hess, local, in_level,
                                      n_nodes, n_bins_tot, axis_name,
@@ -662,13 +672,14 @@ def train_gbdt(
     # same compiled executable
     from mallorn_tpu.utils.aot_cache import call_cached
 
-    forest, imp, hist = call_cached(
+    forest, imp, hist, best_mv = call_cached(
         _fit_jit, (binned, y, w, row_ids, binned_val, yv, vmask, keys,
                    params._replace(seed=0), objective, has_val, axis_name,
                    int(early_stopping_rounds or 0)),
         tag="gbdt_fit", static_argnums=(8, 9, 10, 11, 12))
 
     best_it = -1
+    val_margin = None
     if has_val:
         h = np.asarray(hist)
         if early_stopping_rounds:
@@ -681,12 +692,15 @@ def train_gbdt(
                     stop = i
                     break
             best_it = best_i
+            mv = np.asarray(best_mv)[:n_val]
+            if np.isfinite(mv).all():
+                val_margin = mv
         else:
             best_it = int(np.argmin(h))
 
     return GBDTModel(forest=forest, bin_spec=bin_spec, params=params,
                      importance_gain=imp[:n_feat_real], eval_history=hist,
-                     best_iteration=best_it)
+                     best_iteration=best_it, val_margin=val_margin)
 
 
 def _fit_impl(binned, y, w, row_ids, binned_val, yv, vmask, keys,
@@ -808,31 +822,48 @@ def _fit_impl(binned, y, w, row_ids, binned_val, yv, vmask, keys,
             return (i < R) & (i - best_i <= early_stop)
 
         def body(state):
-            i, margin, margin_val, best_m, best_i, bufs, gain_sum, metrics = state
+            (i, margin, margin_val, best_m, best_i, bufs, gain_sum, metrics,
+             best_mv, stopped) = state
             (margin, margin_val), (tree, gains, metric) = round_step(
                 (margin, margin_val), keys[i])
             bufs = tuple(b.at[i].set(t) for b, t in zip(bufs, tree))
             metrics = metrics.at[i].set(metric)
-            better = metric < best_m
-            best_m = jnp.minimum(metric, best_m)
+            # XGBoost first-stop semantics, frozen per lane: under vmap
+            # the batched loop keeps executing lanes whose own fold has
+            # already stopped (it runs until EVERY lane's cond is false);
+            # a later metric dip in such a lane must NOT move its best —
+            # the host-side scan in _models_from_folds breaks at the
+            # first stop, and best_mv must match the best_iteration it
+            # reports.
+            better = (metric < best_m) & jnp.logical_not(stopped)
+            stopped = stopped | (jnp.logical_not(better)
+                                 & (i - best_i >= early_stop))
+            best_m = jnp.where(better, metric, best_m)
             best_i = jnp.where(better, i, best_i)
+            best_mv = jnp.where(better, margin_val, best_mv)
             return (i + 1, margin, margin_val, best_m, best_i, bufs,
-                    gain_sum + gains, metrics)
+                    gain_sum + gains, metrics, best_mv, stopped)
 
         state0 = (jnp.asarray(0), jnp.zeros(n, jnp.float32),
                   jnp.zeros(binned_val.shape[0], jnp.float32),
                   jnp.asarray(jnp.inf, jnp.float32), jnp.asarray(0),
                   bufs0, jnp.zeros(n_f, jnp.float32),
-                  jnp.full(R, jnp.inf, jnp.float32))
-        *_, bufs, gain_sum, metrics = jax.lax.while_loop(cond, body, state0)
+                  jnp.full(R, jnp.inf, jnp.float32),
+                  jnp.zeros(binned_val.shape[0], jnp.float32),
+                  jnp.asarray(False))
+        (*_, bufs, gain_sum, metrics, best_mv, _stopped) = jax.lax.while_loop(
+            cond, body, state0)
         forest = LGForest(*bufs) if lossguide else Forest(*bufs)
-        return forest, gain_sum, metrics
+        return forest, gain_sum, metrics, best_mv
 
     init = (jnp.zeros(n, jnp.float32), jnp.zeros(binned_val.shape[0], jnp.float32))
     _, (trees, gains, metrics) = jax.lax.scan(round_step, init, keys)
 
     forest = LGForest(*trees) if lossguide else Forest(*trees)
-    return forest, jnp.sum(gains, axis=0), metrics
+    # no early stopping: best-iteration selection happens post-hoc on
+    # host; callers fall back to an explicit predict for val margins
+    return (forest, jnp.sum(gains, axis=0), metrics,
+            jnp.full(binned_val.shape[0], jnp.nan, jnp.float32))
 
 
 def _fit_dart(binned, binned_T, y, w, row_ids, binned_val, yv, vmask, params,
@@ -913,7 +944,10 @@ def _fit_dart(binned, binned_T, y, w, row_ids, binned_val, yv, vmask, params,
         forest = LGForest(*trees[:6], leaf_value=trees[6] * scale[:, None])
     else:
         forest = Forest(*trees[:4], leaf_value=trees[4] * scale[:, None])
-    return forest, jnp.sum(gains, axis=0), metrics
+    # DART re-scales past trees every round: "margins at best iteration"
+    # is not a prefix of a fixed forest, so no val_margin shortcut
+    return (forest, jnp.sum(gains, axis=0), metrics,
+            jnp.full(nv, jnp.nan, jnp.float32))
 
 
 def _stack_folds(folds, params: GBDTParams, pad_rows_to, pad_val_rows_to,
@@ -964,12 +998,14 @@ def _stack_folds(folds, params: GBDTParams, pad_rows_to, pad_val_rows_to,
 
 
 def _models_from_folds(forests, imps, hists, specs, params, n_feat_real,
-                       early_stopping_rounds):
+                       early_stopping_rounds, best_mvs=None):
     models = []
     h_all = np.asarray(hists)
+    mv_all = None if best_mvs is None else np.asarray(best_mvs)
     for i in range(len(specs)):
         best_it = -1
         h = h_all[i]
+        val_margin = None
         if early_stopping_rounds:
             best, best_i = np.inf, 0
             for j, v in enumerate(h):
@@ -978,6 +1014,8 @@ def _models_from_folds(forests, imps, hists, specs, params, n_feat_real,
                 elif j - best_i >= early_stopping_rounds:
                     break
             best_it = best_i
+            if mv_all is not None and np.isfinite(mv_all[i]).all():
+                val_margin = mv_all[i]
         else:
             best_it = int(np.argmin(h))
         forest_i = (LGForest if len(forests) == 7 else Forest)(
@@ -985,7 +1023,7 @@ def _models_from_folds(forests, imps, hists, specs, params, n_feat_real,
         models.append(GBDTModel(
             forest=forest_i, bin_spec=specs[i], params=params,
             importance_gain=imps[i][:n_feat_real], eval_history=hists[i],
-            best_iteration=best_it))
+            best_iteration=best_it, val_margin=val_margin))
     return models
 
 
@@ -1041,13 +1079,14 @@ def train_gbdt_folds(
     es = int(early_stopping_rounds or 0)
     fit_v = _folds_executable(p_static, objective, True, None, es)
     _t1 = _time.perf_counter()
-    forests, imps, hists = call_cached(
+    forests, imps, hists, best_mvs = call_cached(
         fit_v, (arrs["binned"], arrs["y"], arrs["w"], arrs["row_ids"],
                 arrs["binned_val"], arrs["yv"], arrs["vmask"], arrs["keys"]),
         tag=_folds_cache_tag(p_static, objective, es))
     _t2 = _time.perf_counter()
     out = _models_from_folds(forests, imps, hists, specs, params,
-                             n_feat_real, early_stopping_rounds)
+                             n_feat_real, early_stopping_rounds,
+                             best_mvs=best_mvs)
     if _timers:
         print(f"      [folds] stack={_t1 - _t0:.2f}s "
               f"dispatch={_t2 - _t1:.2f}s "

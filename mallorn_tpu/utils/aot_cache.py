@@ -83,6 +83,34 @@ def _signature(args) -> str:
     return repr((tuple(_leaf_sig(a) for a in leaves), str(tree)))
 
 
+_TAG_SUFFIX = ""
+
+
+class tag_suffix:
+    """Context manager appending a suffix to every call_cached tag inside.
+
+    Used by the sharded (mesh) pipeline so its executables get distinct
+    cache files from the single-device ones (their argument shardings
+    already force distinct signatures) AND recognizable names: prefetch
+    deliberately skips ``mesh`` files — uploading them through the tunnel
+    ahead of the primary pipeline's would starve the cold pass (the
+    relay moves executable payloads at ~5-10 MB/s, serially)."""
+
+    def __init__(self, suffix: str):
+        self.suffix = suffix
+
+    def __enter__(self):
+        global _TAG_SUFFIX
+        self._prev = _TAG_SUFFIX
+        _TAG_SUFFIX = _TAG_SUFFIX + self.suffix
+        return self
+
+    def __exit__(self, *exc):
+        global _TAG_SUFFIX
+        _TAG_SUFFIX = self._prev
+        return False
+
+
 def call_cached(jitted, args: tuple, tag: str = "fn",
                 static_argnums: tuple = ()):
     """Call a jitted function through the executable cache.
@@ -98,6 +126,7 @@ def call_cached(jitted, args: tuple, tag: str = "fn",
     if d is None:
         return jitted(*args)
 
+    tag = tag + _TAG_SUFFIX
     # (tag, sig) fully determines the executable (tags carry a digest of
     # any closed-over static config — _folds_cache_tag); keying off
     # id(jitted) would defeat the memo for freshly-built jit wrappers
@@ -169,7 +198,6 @@ def prefetch(max_workers: int = 4, prune_stale: bool = True) -> None:
     if not mp.exists():
         return
     names = set(mp.read_text().split())
-    paths = [d / n for n in sorted(names) if (d / n).exists()]
 
     if prune_stale:
         for p in d.glob("*.aotx"):
@@ -178,6 +206,22 @@ def prefetch(max_workers: int = 4, prune_stale: bool = True) -> None:
         for m in d.glob("manifest_*.txt"):
             if m != mp:
                 m.unlink(missing_ok=True)
+
+    # pipeline order: the relay uploads executables serially at ~5-10
+    # MB/s, so the queue order IS the cold-start order. Mesh (sharded-
+    # pass) executables are excluded entirely — that pass runs last and
+    # loads on demand.
+    _PRIORITY = ("feat_", "gp2d", "gbdt_folds", "feat_stack",
+                 "gbdt_predict", "gbdt_fit")
+
+    def _rank(name: str) -> int:
+        for i, pre in enumerate(_PRIORITY):
+            if name.startswith(pre):
+                return i
+        return len(_PRIORITY)
+
+    paths = [d / n for n in sorted(names, key=lambda n: (_rank(n), n))
+             if "mesh" not in n and (d / n).exists()]
 
     from concurrent.futures import ThreadPoolExecutor
 

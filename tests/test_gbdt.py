@@ -127,3 +127,40 @@ def test_dart_mode():
     p = np.asarray(predict_proba(m, X[400:]))
     assert ((p > 0.5) == y[400:]).mean() > 0.75
     assert np.isfinite(np.asarray(m.eval_history)).all()
+
+
+def test_val_margin_from_fit_equals_predict():
+    """The fit-tracked best-iteration val margins (GBDTModel.val_margin)
+    must equal an explicit predict at best_iteration — including folds
+    whose metric dips again AFTER their early stop (the device loop must
+    freeze best tracking at the host scan's first-stop point)."""
+    from mallorn_tpu.trees.gbdt import (predict_margin, predict_margin_folds,
+                                        train_gbdt, train_gbdt_folds)
+
+    for seed in (0, 1, 2):
+        X, y = _make_data(700, 8, seed=seed)
+        Xf, yf, Xv, yv = X[:550], y[:550], X[550:], y[550:]
+        p = GBDTParams(n_rounds=80, max_depth=4, learning_rate=0.15,
+                       seed=seed)
+        m = train_gbdt(Xf, yf, p, X_val=Xv, y_val=yv,
+                       early_stopping_rounds=8)
+        assert m.val_margin is not None
+        want = np.asarray(predict_margin(m, Xv))
+        np.testing.assert_allclose(m.val_margin, want, rtol=0, atol=1e-5)
+
+    # fold-vmapped path: ragged folds, frozen-after-stop semantics
+    X, y = _make_data(900, 8, seed=7)
+    folds = []
+    for i, (a, b) in enumerate(((0, 600), (100, 700), (250, 850))):
+        folds.append({"X": X[a:b], "y": y[a:b],
+                      "X_val": X[b:b + 50 + 10 * i], "y_val": y[b:b + 50 + 10 * i],
+                      "spw": 1.0})
+    models = train_gbdt_folds(folds, GBDTParams(n_rounds=60, max_depth=4,
+                                                learning_rate=0.2),
+                              early_stopping_rounds=5)
+    got = predict_margin_folds(models, [f["X_val"] for f in folds])
+    for i, m in enumerate(models):
+        assert m.val_margin is not None
+        nv = len(folds[i]["X_val"])
+        np.testing.assert_allclose(m.val_margin[:nv], got[i][:nv],
+                                   rtol=0, atol=1e-5)
