@@ -180,7 +180,8 @@ def _manifest_add(d: Path, name: str) -> None:
         pass
 
 
-def prefetch(max_workers: int = 4, prune_stale: bool = True) -> None:
+def prefetch(max_workers: int = 4, prune_stale: bool = True,
+             mesh: bool = False) -> None:
     """Deserialize + device-load the current generation's executables on
     background threads, so the pipeline's first call per tag finds them
     ready instead of paying the load serially (first-call executable loads
@@ -220,8 +221,12 @@ def prefetch(max_workers: int = 4, prune_stale: bool = True) -> None:
                 return i
         return len(_PRIORITY)
 
+    # mesh=False: the primary pipeline's files, mesh files excluded (the
+    # sharded pass runs last). mesh=True: ONLY the mesh files — called
+    # right before the sharded pass so its uploads overlap host-side
+    # work (e.g. the sklearn oracle) instead of its own timing.
     paths = [d / n for n in sorted(names, key=lambda n: (_rank(n), n))
-             if "mesh" not in n and (d / n).exists()]
+             if ("mesh" in n) == mesh and (d / n).exists()]
 
     from concurrent.futures import ThreadPoolExecutor
 
