@@ -90,12 +90,22 @@ def main():
 
     log(f"devices: {jax.devices()}")
 
+    # touch the device once before any timing: first contact through the
+    # relay can stall for seconds (connection setup / server wake) and is
+    # not pipeline cost
+    import jax.numpy as _jnp
+
+    _ = float(np.asarray(_jnp.zeros(8).sum()))
+
     # background-load the current generation's serialized executables so
     # first calls find them ready (the cold-warm gap is mostly first-call
-    # executable loads through the tunnel; VERDICT r2 #1)
+    # executable loads through the tunnel; VERDICT r2 #1). Two upload
+    # threads: more concurrent payload streams starve the foreground
+    # execute RPCs on the single relay pipe (observed multi-minute
+    # stalls at 4).
     from mallorn_tpu.utils.aot_cache import prefetch
 
-    prefetch()
+    prefetch(max_workers=2)
 
     def numeric_gates():
         """On-device numeric gates for both Pallas histogram kernels
