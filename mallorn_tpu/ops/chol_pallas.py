@@ -106,7 +106,7 @@ def cholesky_inverse_lanes(K: jnp.ndarray, interpret: bool | None = None):
     Kt = K.reshape(b_pad // B_LANES, B_LANES, t, t).transpose(0, 3, 2, 1)
 
     kernel = functools.partial(_chol_inv_kernel, t=t)
-    mem = pltpu.ANY if interpret else pltpu.VMEM
+    mem = pl.ANY if interpret else pltpu.VMEM
     linv, ld = pl.pallas_call(
         kernel,
         grid=(b_pad // B_LANES,),
@@ -154,7 +154,7 @@ def cholesky_lanes(K: jnp.ndarray, interpret: bool | None = None
     Kt = K.reshape(b_pad // B_LANES, B_LANES, t, t).transpose(0, 3, 2, 1)
 
     kernel = functools.partial(_chol_kernel, t=t)
-    mem = pltpu.ANY if interpret else pltpu.VMEM
+    mem = pl.ANY if interpret else pltpu.VMEM
     out = pl.pallas_call(
         kernel,
         grid=(b_pad // B_LANES,),

@@ -124,13 +124,13 @@ def build_histograms_pallas(
         grid=grid,
         in_specs=[
             pl.BlockSpec((F_BLOCK, row_chunk), lambda i, j: (i, j),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
             pl.BlockSpec((row_chunk, 2), lambda i, j: (j, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((F_BLOCK, 2, n_hi, S_LO),
                                lambda i, j: (i, 0, 0, 0),
-                               memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                               memory_space=pl.ANY if interpret else pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((f_pad, 2, n_hi, S_LO), jnp.float32),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
@@ -277,7 +277,7 @@ def build_histograms_binlane(
     grid = (f_pad // f_block, n_pad // row_chunk)
     kernel = functools.partial(_binlane_kernel, n_nodes=n_nodes,
                                rows=row_chunk, f_block=f_block, n_bh=n_bh)
-    mem = pltpu.ANY if interpret else pltpu.VMEM
+    mem = pl.ANY if interpret else pltpu.VMEM
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -425,7 +425,7 @@ def build_histograms_binlane_i8(
     grid = (f_pad // f_block, n_pad // row_chunk)
     kernel = functools.partial(_binlane_kernel_i8, n_nodes=n_nodes,
                                rows=row_chunk, f_block=f_block, n_bh=n_bh)
-    mem = pltpu.ANY if interpret else pltpu.VMEM
+    mem = pl.ANY if interpret else pltpu.VMEM
     out = pl.pallas_call(
         kernel,
         grid=grid,

@@ -91,6 +91,11 @@ class GBDTParams(NamedTuple):
     # node-summed gain — the tree is a 2^depth-leaf decision table.
     grow_policy: str = "depthwise"
     max_leaves: int = 31
+    # histogram subtraction (LightGBM's parent-minus-sibling trick): at
+    # level d >= 1 only LEFT children's histograms are built by the
+    # kernel (half the matmul columns); each right child is the parent's
+    # retained histogram minus its sibling's. Binlane path only.
+    hist_subtract: bool = True
 
 
 class Forest(NamedTuple):
@@ -332,6 +337,8 @@ def _train_tree(binned_T, binned, grad, hess, col_mask, p: GBDTParams, axis_name
     gain_per_feature = jnp.zeros(n_f, jnp.float32)
 
     node = jnp.zeros(n, jnp.int32)
+    prev_hist = None  # [F, 2^(d-1), B+1, 2] full hists of the previous level
+    prev_split = None  # [2^(d-1)] bool: previous-level node was split
 
     for d in range(depth):
         n_nodes = 2 ** d
@@ -341,20 +348,48 @@ def _train_tree(binned_T, binned, grad, hess, col_mask, p: GBDTParams, axis_name
 
         if binlane is not None:
             mode, bhot, hib, payload, bl_rc = binlane
-            node_q = jnp.where(in_level, local, n_nodes)
+            # Histogram subtraction (LightGBM parent-minus-sibling): at
+            # d >= 1 the kernel builds only the 2^(d-1) LEFT children
+            # (local index 2q -> q); right child = parent - left. Halves
+            # the scatter-matmul width, whose cost is linear in the node
+            # count (tools/probe_sweep.json: nodes16 4.55 ms vs nodes8
+            # ~3.2 ms at the selection shape). Rows at leaves never
+            # advance, so a leaf parent's left child receives zero rows;
+            # its "right" is masked to zero via prev_split.
+            subtract = p.hist_subtract and d > 0
+            if subtract:
+                k_nodes = n_nodes // 2
+                node_q = jnp.where(in_level & (local % 2 == 0),
+                                   local // 2, k_nodes)
+            else:
+                k_nodes = n_nodes
+                node_q = jnp.where(in_level, local, n_nodes)
             # deep levels widen the per-feature matmul (6C columns grows
-            # with n_nodes): a narrower feature block measured ~10%
-            # faster there (fb=16 2.55 ms vs fb=32 2.89 ms at nodes=16)
-            fb = 16 if n_nodes >= 8 else hist_pallas.F_BLOCK
+            # with the kernel node count): a narrower feature block + a
+            # fatter row chunk measured fastest there
+            # (tools/probe_sweep.json: sel nodes16 rc2560/fb16 4.55 ms
+            # vs rc1280/fb32 4.83 / rc1280/fb16 5.06)
+            if k_nodes >= 8:
+                fb = 16
+                rc = _pick_row_chunk(node.shape[0], cap=2560) or bl_rc
+            else:
+                fb = hist_pallas.F_BLOCK
+                rc = bl_rc
             if mode == "int8":
                 gd, s_g, s_h = payload
                 hist = _psum(hist_pallas.build_histograms_binlane_i8(
-                    bhot, hib, node_q, gd, s_g, s_h, n_nodes, n_bins_tot,
-                    row_chunk=bl_rc, f_block=fb), axis_name)
+                    bhot, hib, node_q, gd, s_g, s_h, k_nodes, n_bins_tot,
+                    row_chunk=rc, f_block=fb), axis_name)
             else:
                 hist = _psum(hist_pallas.build_histograms_binlane(
-                    bhot, hib, node_q, payload, n_nodes, n_bins_tot,
-                    row_chunk=bl_rc, f_block=fb), axis_name)
+                    bhot, hib, node_q, payload, k_nodes, n_bins_tot,
+                    row_chunk=rc, f_block=fb), axis_name)
+            if subtract:
+                right = jnp.where(prev_split[None, :, None, None],
+                                  prev_hist - hist, 0.0)
+                # interleave: full[:, 2q] = left, full[:, 2q+1] = right
+                hist = jnp.stack([hist, right], axis=2).reshape(
+                    hist.shape[0], n_nodes, *hist.shape[2:])
         else:
             hist = _build_level_hist(binned_T, grad, hess, local, in_level,
                                      n_nodes, n_bins_tot, axis_name,
@@ -371,6 +406,8 @@ def _train_tree(binned_T, binned, grad, hess, col_mask, p: GBDTParams, axis_name
             make_leaf = best_gain * n_nodes <= p.min_split_gain
         else:
             make_leaf = best_gain <= p.min_split_gain  # covers -inf / empty nodes
+        if binlane is not None and p.hist_subtract and d + 1 < depth:
+            prev_hist, prev_split = hist, ~make_leaf
         ids = level_start + jnp.arange(n_nodes)
 
         feature = feature.at[ids].set(jnp.where(make_leaf, 0, best_f))
@@ -722,7 +759,9 @@ def _fit_impl(binned, y, w, row_ids, binned_val, yv, vmask, keys,
     use_binlane = params.use_binlane_hist
     if use_binlane is None:
         use_binlane = jax.default_backend() == "tpu"
-    bl_rc = _pick_row_chunk(n)
+    # cap 2048: at the adversarial shape (8192 rows) rc=2048 measured 4.36 ms
+    # vs 5.54 ms at rc=1024 for the level-0 call (tools/probe_sweep.json)
+    bl_rc = _pick_row_chunk(n, cap=2048)
     use_binlane = use_binlane and not lossguide and bl_rc >= 256
     if use_binlane:
         if params.hist_dtype in ("int8", "i8bf16"):
@@ -955,6 +994,11 @@ def _stack_folds(folds, params: GBDTParams, pad_rows_to, pad_val_rows_to,
     """Pad every fold to shared shapes and stack on a leading fold axis.
 
     Returns (arrs dict incl. row_ids, bin specs, n_feat_real)."""
+    import os as _os
+    import time as _time
+    _timers = _os.environ.get("MALLORN_TIMERS")
+    _t_bins = _t_apply = 0.0
+    _t0 = _time.perf_counter()
     stacks = {k: [] for k in ("binned", "y", "w", "binned_val", "yv", "vmask", "keys")}
     specs = []
     for f in folds:
@@ -971,11 +1015,15 @@ def _stack_folds(folds, params: GBDTParams, pad_rows_to, pad_val_rows_to,
         # the objective, not the bin edges (XGBoost semantics)
         w = w_base * np.where(y_f > 0.5, f.get("spw", 1.0), 1.0)
 
+        _tb = _time.perf_counter()
         spec = fit_bins(X, params.n_bins, sample_weight=w_base)
         specs.append(spec)
+        _ta = _time.perf_counter()
+        _t_bins += _ta - _tb
 
         binned = apply_bins_np(spec, X)
         binned_val = apply_bins_np(spec, Xv)
+        _t_apply += _time.perf_counter() - _ta
 
         er, ev = pad_rows_to - len(X), pad_val_rows_to - len(Xv)
         stacks["binned"].append(np.concatenate(
@@ -990,10 +1038,15 @@ def _stack_folds(folds, params: GBDTParams, pad_rows_to, pad_val_rows_to,
         stacks["keys"].append(np.asarray(jax.random.split(
             jax.random.PRNGKey(f.get("seed", params.seed)), params.n_rounds)))
 
+    _tp = _time.perf_counter()
     arrs = {k: jnp.asarray(np.stack(v)) for k, v in stacks.items()}
     arrs["row_ids"] = jnp.broadcast_to(
         jnp.arange(pad_rows_to, dtype=jnp.int32), (len(folds), pad_rows_to))
     n_feat_real = np.asarray(folds[0]["X"], np.float32).shape[1]
+    if _timers:
+        print(f"      [stack] bins={_t_bins:.2f}s apply={_t_apply:.2f}s "
+              f"pad={_tp - _t0 - _t_bins - _t_apply:.2f}s "
+              f"put={_time.perf_counter() - _tp:.2f}s", flush=True)
     return arrs, specs, n_feat_real
 
 

@@ -187,3 +187,55 @@ def test_binlane_i8bf16_matches_bf16_interpret():
     b = build_histograms_binlane(b8, hib8, node_q, gd, n_nodes, nbt,
                                  row_chunk=256, interpret=True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_hist_subtraction_training_parity():
+    """hist_subtract (parent-minus-sibling right-child histograms) builds
+    the same trees as direct per-level histograms, including with row
+    subsampling and early leaves (forced binlane on CPU; interpret)."""
+    from mallorn_tpu.trees.gbdt import GBDTParams, train_gbdt
+
+    rng = np.random.default_rng(7)
+    n, f = 384, 10
+    X = rng.normal(size=(n, f)).astype(np.float32)
+    y = (X[:, 0] - 0.4 * X[:, 2] + 0.3 * rng.normal(size=n) > 0.1)
+    X[rng.random((n, f)) < 0.15] = np.nan
+
+    base = GBDTParams(n_rounds=10, max_depth=4, learning_rate=0.3,
+                      subsample=0.7, colsample_bytree=1.0,
+                      use_binlane_hist=True)
+    m_dir = train_gbdt(X, y.astype(np.float32),
+                       base._replace(hist_subtract=False))
+    m_sub = train_gbdt(X, y.astype(np.float32),
+                       base._replace(hist_subtract=True))
+    np.testing.assert_array_equal(np.asarray(m_dir.forest.feature),
+                                  np.asarray(m_sub.forest.feature))
+    np.testing.assert_array_equal(np.asarray(m_dir.forest.split_bin),
+                                  np.asarray(m_sub.forest.split_bin))
+    np.testing.assert_array_equal(np.asarray(m_dir.forest.is_leaf),
+                                  np.asarray(m_sub.forest.is_leaf))
+    np.testing.assert_allclose(np.asarray(m_dir.forest.leaf_value),
+                               np.asarray(m_sub.forest.leaf_value),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_hist_subtraction_symmetric_parity():
+    """Subtraction under CatBoost oblivious growth (shared level split)."""
+    from mallorn_tpu.trees.gbdt import GBDTParams, train_gbdt
+
+    rng = np.random.default_rng(11)
+    n, f = 256, 8  # n must have a x128 divisor >= 256 or binlane disables
+    X = rng.normal(size=(n, f)).astype(np.float32)
+    y = (0.8 * X[:, 1] + 0.2 * rng.normal(size=n) > 0.0)
+
+    base = GBDTParams(n_rounds=8, max_depth=4, learning_rate=0.3,
+                      subsample=1.0, colsample_bytree=1.0,
+                      grow_policy="symmetric", use_binlane_hist=True)
+    m_dir = train_gbdt(X, y.astype(np.float32),
+                       base._replace(hist_subtract=False))
+    m_sub = train_gbdt(X, y.astype(np.float32),
+                       base._replace(hist_subtract=True))
+    np.testing.assert_array_equal(np.asarray(m_dir.forest.feature),
+                                  np.asarray(m_sub.forest.feature))
+    np.testing.assert_array_equal(np.asarray(m_dir.forest.split_bin),
+                                  np.asarray(m_sub.forest.split_bin))
