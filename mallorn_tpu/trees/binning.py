@@ -53,13 +53,11 @@ def fit_bins(X: np.ndarray, n_bins: int = 256,
     if weighted:
         q = _weighted_quantiles(X, np.asarray(sample_weight, np.float64), qs)
     else:
-        # one vectorized NaN-aware quantile call for every feature at once
-        with np.errstate(all="ignore"):
-            import warnings
-
-            with warnings.catch_warnings():
-                warnings.simplefilter("ignore")
-                q = np.nanquantile(X, qs, axis=0).T  # [F, n_bins-1]
+        # sort-based vectorized quantiles: np.nanquantile falls back to a
+        # slow per-column path whenever NaNs are present (~3 s at the
+        # adversarial stage's [14k, 448]); one sort + a fancy-indexed
+        # linear interpolation reproduces its 'linear' method exactly
+        q = _uniform_quantiles(X, qs)
 
     edges = np.full((f, n_bins - 1), np.inf, dtype=np.float32)
     all_nan = np.isnan(q).all(axis=1)
@@ -69,6 +67,28 @@ def fit_bins(X: np.ndarray, n_bins: int = 256,
     # features with no finite values: all rows route to the missing bin
     edges[all_nan] = np.arange(n_bins - 1, dtype=np.float32)
     return BinSpec(edges=jnp.asarray(edges), n_bins=n_bins)
+
+
+def _uniform_quantiles(X: np.ndarray, qs: np.ndarray) -> np.ndarray:
+    """NaN-aware per-feature quantiles, vectorized over features.
+
+    Equivalent to ``np.nanquantile(X, qs, axis=0).T`` (linear
+    interpolation over the finite values of each column; all-NaN columns
+    give NaN rows) without its per-column NaN fallback."""
+    n, f = X.shape
+    Xs = np.sort(X, axis=0)  # NaNs sort last
+    nf = np.sum(~np.isnan(X), axis=0)  # [F]
+    pos = qs[None, :] * (np.maximum(nf, 1)[:, None] - 1)  # [F, Q]
+    lo = np.floor(pos).astype(np.int64)
+    hi = np.minimum(lo + 1, np.maximum(nf[:, None] - 1, 0))
+    frac = pos - lo
+    vlo = np.take_along_axis(Xs, lo.T, axis=0).T  # [F, Q]
+    vhi = np.take_along_axis(Xs, hi.T, axis=0).T
+    # numpy's _lerp: computed from b when t >= 0.5 for fp symmetry
+    diff = vhi - vlo
+    out = np.where(frac >= 0.5, vhi - diff * (1 - frac), vlo + diff * frac)
+    out[nf == 0] = np.nan
+    return out
 
 
 def _weighted_quantiles(X: np.ndarray, w: np.ndarray,
@@ -124,12 +144,82 @@ def apply_bins_np(spec: BinSpec, X: np.ndarray) -> np.ndarray:
     tunnel: host->device matrix + device->host ids) per call; stacking
     and prediction bin on host and ship the ids once, as int16 (bin ids
     fit 257 values; half the transfer bytes).
-    """
+
+    Routes through the threaded native kernel (csrc/fast_bin.cpp) when
+    the toolchain is available; the numpy loop is the exact-equivalent
+    fallback."""
     X = np.asarray(X)
     edges = np.asarray(spec.edges)
+    out = _apply_bins_native(X, edges, spec.n_bins)
+    if out is not None:
+        return out
     Xc = np.clip(X, -1e10, 1e10)
     out = np.empty(X.shape, np.int16)
     for j in range(X.shape[1]):
         out[:, j] = np.searchsorted(edges[j], Xc[:, j], side="right")
     out[np.isnan(X)] = spec.n_bins
+    return out
+
+
+_bin_lib = None
+_bin_build_failed = False
+
+
+def _load_bin_lib():
+    """Build/load csrc/fast_bin.cpp on first use (same pattern as
+    io/native.py's CSV parser); None when the toolchain is unavailable."""
+    global _bin_lib, _bin_build_failed
+    if _bin_lib is not None:
+        return _bin_lib
+    if _bin_build_failed:
+        return None
+    import ctypes
+    import subprocess
+    from pathlib import Path
+
+    src = Path(__file__).resolve().parents[2] / "csrc" / "fast_bin.cpp"
+    so = Path(__file__).resolve().parent / "_fast_bin.so"
+    if not so.exists() or (src.exists()
+                           and src.stat().st_mtime > so.stat().st_mtime):
+        if not src.exists():
+            _bin_build_failed = True
+            return None
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                 str(src), "-o", str(so), "-pthread"],
+                check=True, capture_output=True, timeout=120)
+        except Exception:
+            _bin_build_failed = True
+            return None
+    try:
+        lib = ctypes.CDLL(str(so))
+        lib.apply_bins.restype = None
+        lib.apply_bins.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_int32]
+        _bin_lib = lib
+    except Exception:
+        _bin_build_failed = True
+        return None
+    return _bin_lib
+
+
+def _apply_bins_native(X: np.ndarray, edges: np.ndarray,
+                       n_bins: int) -> Optional[np.ndarray]:
+    lib = _load_bin_lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    Xd = np.ascontiguousarray(X, np.float64)
+    ed = np.ascontiguousarray(edges, np.float32)
+    n, f = Xd.shape
+    out = np.empty((n, f), np.int16)
+    lib.apply_bins(
+        Xd.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ed.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n, f, ed.shape[1], n_bins,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), 0)
     return out

@@ -86,3 +86,47 @@ def test_gbdt_uses_weighted_sketch_end_to_end():
     want = oracle.predict_margin(binned)
     ours = np.asarray(predict_margin(model, X, n_trees=params.n_rounds))
     np.testing.assert_allclose(ours, want, rtol=2e-3, atol=2e-3)
+
+
+def test_uniform_quantiles_matches_nanquantile():
+    """The sort-based vectorized quantile path is bit-identical to
+    np.nanquantile (incl. all-NaN, single-value, and inf columns)."""
+    import warnings
+    from mallorn_tpu.trees.binning import _uniform_quantiles
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(500, 40)) * rng.lognormal(size=40)
+    X[rng.random(X.shape) < 0.25] = np.nan
+    X[:, 3] = np.nan
+    X[1:, 5] = np.nan
+    X = np.clip(X, -1e10, 1e10)
+    qs = np.linspace(0, 1, 33)[1:-1]
+    got = _uniform_quantiles(X, qs)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        want = np.nanquantile(X, qs, axis=0).T
+    np.testing.assert_array_equal(got, want)
+
+
+def test_native_apply_bins_matches_numpy():
+    """csrc/fast_bin.cpp == the numpy searchsorted loop, incl. NaN and
+    clipping edge cases (skips when the toolchain is unavailable)."""
+    from mallorn_tpu.trees.binning import _apply_bins_native, fit_bins
+
+    rng = np.random.default_rng(12)
+    X = rng.normal(size=(300, 25)).astype(np.float32)
+    X[rng.random(X.shape) < 0.2] = np.nan
+    X[0, 0] = np.inf
+    X[1, 0] = -np.inf
+    spec = fit_bins(X, 16)
+    edges = np.asarray(spec.edges)
+    got = _apply_bins_native(X, edges, spec.n_bins)
+    if got is None:
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    Xc = np.clip(X, -1e10, 1e10)
+    want = np.empty(X.shape, np.int16)
+    for j in range(X.shape[1]):
+        want[:, j] = np.searchsorted(edges[j], Xc[:, j], side="right")
+    want[np.isnan(X)] = spec.n_bins
+    np.testing.assert_array_equal(got, want)

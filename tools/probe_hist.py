@@ -200,6 +200,49 @@ def probe_kernel():
     return out
 
 
+def probe_subtract(r1=8, r2=32):
+    """A/B of hist_subtract at the two pipeline shapes (v92d: 2560 rows;
+    adversarial: 11520 rows), i8bf16 dynslice."""
+    import jax
+    import jax.numpy as jnp
+
+    from mallorn_tpu.trees import objectives
+    from mallorn_tpu.trees.gbdt import GBDTParams, _fit_impl
+
+    results = {}
+    for shape_name, n in (("v92d", N_ROWS), ("adv", 11520)):
+        binned, y, w, rid, keys = make_data(n=n)
+        for sub in (False, True):
+            times = {}
+            for r in (r1, r2):
+                p = GBDTParams(n_rounds=r, max_depth=DEPTH, subsample=0.8,
+                               colsample_bytree=0.8, hist_dtype="i8bf16",
+                               route="dynslice", seed=0, hist_subtract=sub)
+
+                def single(b, y_, w_, rid_, ks):
+                    forest, imp, hist = _fit_impl(
+                        b, y_, w_, rid_, b[:1], y_[:1],
+                        jnp.ones((1,), bool), ks,
+                        p, objectives.logistic, False, None, 0)
+                    return forest.leaf_value.sum()
+
+                fit = jax.jit(jax.vmap(single))
+                ks = keys[:, :r]
+                _sync(fit(binned, y, w, rid, ks))  # compile
+                best = np.inf
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    _sync(fit(binned, y, w, rid, ks))
+                    best = min(best, time.perf_counter() - t0)
+                times[r] = best
+            dt = (times[r2] - times[r1]) / (r2 - r1)
+            results[f"{shape_name}/sub={sub}"] = dt * 1e3
+            print(f"  fit round [{shape_name}/sub={sub}]: {dt * 1e3:.2f} "
+                  f"ms/round  (t{r1}={times[r1]:.2f}s t{r2}={times[r2]:.2f}s)",
+                  flush=True)
+    return results
+
+
 def mfu_table(measured_ms: dict | None = None):
     """Analytic FLOPs/bytes per binlane call + achieved fraction of peak."""
     n, f = N_ROWS * FOLDS, N_FEAT
@@ -235,6 +278,8 @@ if __name__ == "__main__":
     res = {}
     if mode in ("fit", "all"):
         res["fit"] = probe_fit()
+    if mode in ("sub", "all"):
+        res["sub"] = probe_subtract()
     if mode in ("kernel", "all"):
         res["kernel"] = probe_kernel()
         res["mfu"] = mfu_table(res["kernel"])
