@@ -7,13 +7,20 @@ backend compile (~minutes for the 500-round boosting scan — PERF.md).
 executable through bytes; we cache executables on disk keyed by
 
   (jax version, backend, call tag, argument tree/shape/dtype signature,
-   a content hash of the whole mallorn_tpu package source)
+   a content hash of the package sources the tag's subsystem depends on)
 
-The package-source hash is deliberately coarse: ANY source change
-invalidates the entire cache. That conservatism buys the thing that
-matters — a cache HIT costs only a file read + deserialize, with no
-tracing/lowering (hashing the lowered HLO instead was correct-by-construction
-but re-paid 10-30 s of host tracing per big scan, defeating the point).
+The source hash is per-SUBSYSTEM (bucket), not per-package: a ``gbdt_*``
+executable is keyed on ``trees/ + ops/ + utils/``, a ``feat_*``/``gp2d``
+one on ``features/ + ops/ + data/ + utils/`` (mesh variants add
+``parallel/``), so a perf edit in the tree layer no longer invalidates
+the ~200 MB of feature/GP executables (or vice versa) — on the axon
+relay, re-uploading those costs ~25 s of cold start. Buckets are
+deliberately superset-conservative (all of ``ops/`` and ``utils/`` in
+both); unrecognized tags fall back to the whole-package hash. Content
+hashing stays file-based, never HLO-based: a cache HIT must cost only a
+file read + deserialize, with no tracing/lowering (hashing the lowered
+HLO was correct-by-construction but re-paid 10-30 s of host tracing per
+big scan, defeating the point).
 
 Enabled when ``MALLORN_AOT_CACHE`` names a directory (bench.py sets it);
 disabled = plain jitted call. Serialization failures degrade silently to
@@ -54,15 +61,67 @@ def _package_hash() -> str:
     """Content hash of every .py file in the mallorn_tpu package."""
     global _PKG_HASH
     if _PKG_HASH is None:
-        import mallorn_tpu
-
-        root = Path(mallorn_tpu.__file__).parent
-        h = hashlib.sha256()
-        for p in sorted(root.rglob("*.py")):
-            h.update(str(p.relative_to(root)).encode())
-            h.update(p.read_bytes())
-        _PKG_HASH = h.hexdigest()
+        _PKG_HASH = _dirs_hash(None)
     return _PKG_HASH
+
+
+_DIR_HASHES: Dict[Tuple, str] = {}
+
+# tag prefix -> package subdirectories whose sources determine the
+# compiled computation. native .cpp sources are irrelevant (host-side),
+# train/ cli/ io/ models/ only orchestrate around the jitted fns.
+_BUCKETS = (
+    (("gbdt",), ("trees", "ops", "utils")),
+    (("feat_", "gp2d"), ("features", "ops", "data", "utils")),
+)
+
+
+def _dirs_hash(dirs: tuple | None) -> str:
+    """Content hash of the package's .py files under ``dirs`` (all when
+    None); top-level modules (__init__ etc.) always included."""
+    key = dirs
+    got = _DIR_HASHES.get(key)
+    if got is not None:
+        return got
+    import mallorn_tpu
+
+    root = Path(mallorn_tpu.__file__).parent
+    h = hashlib.sha256()
+    for p in sorted(root.rglob("*.py")):
+        rel = p.relative_to(root)
+        if dirs is not None and len(rel.parts) > 1 and rel.parts[0] not in dirs:
+            continue
+        h.update(str(rel).encode())
+        h.update(p.read_bytes())
+    _DIR_HASHES[key] = h.hexdigest()
+    return _DIR_HASHES[key]
+
+
+def _bucket_id(tag: str) -> str:
+    for prefixes, _ in _BUCKETS:
+        if tag.startswith(prefixes):
+            base = prefixes[0].rstrip("_")
+            return f"{base}mesh" if "mesh" in tag else base
+    return "full"
+
+
+def _bucket_hash(bucket: str) -> str:
+    """The source hash executables in this bucket are keyed on."""
+    for prefixes, dirs in _BUCKETS:
+        base = prefixes[0].rstrip("_")
+        if bucket == base:
+            return _dirs_hash(tuple(sorted(dirs)))
+        if bucket == f"{base}mesh":  # shard_map wrappers live in parallel/
+            return _dirs_hash(tuple(sorted(dirs + ("parallel",))))
+    return _package_hash()
+
+
+def _all_buckets() -> tuple:
+    out = ["full"]
+    for prefixes, _ in _BUCKETS:
+        base = prefixes[0].rstrip("_")
+        out += [base, f"{base}mesh"]
+    return tuple(out)
 
 
 def _leaf_sig(a):
@@ -162,16 +221,16 @@ def _deserialize(path: Path):
     return se.deserialize_and_load(payload, in_tree, out_tree)
 
 
-def _manifest_path(d: Path) -> Path:
-    return d / f"manifest_{_package_hash()[:16]}.txt"
+def _manifest_path(d: Path, bucket: str) -> Path:
+    return d / f"manifest_{bucket}_{_bucket_hash(bucket)[:16]}.txt"
 
 
-def _manifest_add(d: Path, name: str) -> None:
-    """Record a file as belonging to the current package generation (the
+def _manifest_add(d: Path, name: str, tag: str) -> None:
+    """Record a file as belonging to its bucket's current generation (the
     cache key embeds the argument signature, which prefetch can't predict;
     the manifest is how a LATER process knows which files are current)."""
     try:
-        mp = _manifest_path(d)
+        mp = _manifest_path(d, _bucket_id(tag))
         known = set(mp.read_text().split()) if mp.exists() else set()
         if name not in known:
             with open(mp, "a") as f:
@@ -195,17 +254,21 @@ def prefetch(max_workers: int = 4, prune_stale: bool = True,
     d = cache_dir()
     if d is None or not d.is_dir():
         return
-    mp = _manifest_path(d)
-    if not mp.exists():
+    current = {b: _manifest_path(d, b) for b in _all_buckets()}
+    names: set = set()
+    for mp in current.values():
+        if mp.exists():
+            names |= set(mp.read_text().split())
+    if not names:
         return
-    names = set(mp.read_text().split())
 
     if prune_stale:
         for p in d.glob("*.aotx"):
             if p.name not in names:
                 p.unlink(missing_ok=True)
+        keep = {m for m in current.values()}
         for m in d.glob("manifest_*.txt"):
-            if m != mp:
+            if m not in keep:
                 m.unlink(missing_ok=True)
 
     # pipeline order: the relay uploads executables serially at ~5-10
@@ -262,7 +325,7 @@ def _load_or_compile(jitted, args, tag, sig, d: Path):
 
     key = hashlib.sha256(
         (jax.__version__ + jax.default_backend() + tag + sig
-         + _package_hash()).encode()).hexdigest()[:24]
+         + _bucket_hash(_bucket_id(tag))).encode()).hexdigest()[:24]
     d.mkdir(parents=True, exist_ok=True)
     path = d / f"{tag}_{key}.aotx"
 
@@ -271,7 +334,7 @@ def _load_or_compile(jitted, args, tag, sig, d: Path):
 
     timers = os.environ.get("MALLORN_TIMERS")
     if path.exists():
-        _manifest_add(d, path.name)
+        _manifest_add(d, path.name, tag)
         t0 = _time.perf_counter()
         ex = _take_prefetched(path)
         if ex is not None:
@@ -301,7 +364,7 @@ def _load_or_compile(jitted, args, tag, sig, d: Path):
         tmp = path.with_suffix(".tmp")
         tmp.write_bytes(pickle.dumps((payload, in_tree, out_tree)))
         os.replace(tmp, path)
-        _manifest_add(d, path.name)
+        _manifest_add(d, path.name, tag)
     except Exception:
         pass  # cache is best-effort
     return compiled

@@ -60,21 +60,33 @@ def test_focal_closures_have_distinct_identity():
 
 
 def test_manifest_roundtrip(tmp_path, monkeypatch):
-    monkeypatch.setattr(aot_cache, "_package_hash", lambda: "f" * 64)
-    aot_cache._manifest_add(tmp_path, "a.aotx")
-    aot_cache._manifest_add(tmp_path, "b.aotx")
-    aot_cache._manifest_add(tmp_path, "a.aotx")  # dedupe
-    mp = aot_cache._manifest_path(tmp_path)
+    monkeypatch.setattr(aot_cache, "_bucket_hash", lambda b: "f" * 64)
+    aot_cache._manifest_add(tmp_path, "a.aotx", "gbdt_folds_x")
+    aot_cache._manifest_add(tmp_path, "b.aotx", "gbdt_folds_x")
+    aot_cache._manifest_add(tmp_path, "a.aotx", "gbdt_folds_x")  # dedupe
+    mp = aot_cache._manifest_path(tmp_path, "gbdt")
     assert mp.read_text().split() == ["a.aotx", "b.aotx"]
 
 
+def test_bucket_keying_isolates_subsystems():
+    """feat_* executables must not be invalidated by trees/ edits: the
+    buckets hash disjoint-enough source sets, and mesh tags add parallel/."""
+    assert aot_cache._bucket_id("gbdt_folds_abc") == "gbdt"
+    assert aot_cache._bucket_id("gbdt_folds_abc_mesh1_mesh") == "gbdtmesh"
+    assert aot_cache._bucket_id("feat_colors") == "feat"
+    assert aot_cache._bucket_id("gp2d") == "feat"
+    assert aot_cache._bucket_id("something_else") == "full"
+    h = {b: aot_cache._bucket_hash(b) for b in aot_cache._all_buckets()}
+    assert len(set(h.values())) == len(h)  # all distinct source sets
+
+
 def test_prefetch_prunes_stale_generations(tmp_path, monkeypatch):
-    monkeypatch.setattr(aot_cache, "_package_hash", lambda: "f" * 64)
+    monkeypatch.setattr(aot_cache, "_bucket_hash", lambda b: "f" * 64)
     monkeypatch.setattr(aot_cache, "cache_dir", lambda: tmp_path)
     (tmp_path / "cur.aotx").write_bytes(b"not-a-real-payload")
     (tmp_path / "old.aotx").write_bytes(b"stale")
-    (tmp_path / "manifest_0123456789abcdef.txt").write_text("old.aotx\n")
-    aot_cache._manifest_add(tmp_path, "cur.aotx")
+    (tmp_path / "manifest_full_0123456789abcdef.txt").write_text("old.aotx\n")
+    aot_cache._manifest_add(tmp_path, "cur.aotx", "feat_colors")
 
     aot_cache.prefetch(max_workers=1)
     import time
@@ -88,4 +100,4 @@ def test_prefetch_prunes_stale_generations(tmp_path, monkeypatch):
         time.sleep(0.05)
     assert (tmp_path / "cur.aotx").exists()
     assert not (tmp_path / "old.aotx").exists()
-    assert not (tmp_path / "manifest_0123456789abcdef.txt").exists()
+    assert not (tmp_path / "manifest_full_0123456789abcdef.txt").exists()

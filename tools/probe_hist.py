@@ -105,11 +105,11 @@ def probe_fit(r1=8, r2=32):
                                route=route, seed=0)
 
                 def single(b, y_, w_, rid_, ks):
-                    forest, imp, hist = _fit_impl(
+                    out = _fit_impl(
                         b, y_, w_, rid_, b[:1], y_[:1],
                         jnp.ones((1,), bool), ks,
                         p, objectives.logistic, False, None, 0)
-                    return forest.leaf_value.sum()
+                    return out[0].leaf_value.sum()
 
                 fit = jax.jit(jax.vmap(single))
                 ks = keys[:, :r]
@@ -220,11 +220,11 @@ def probe_subtract(r1=8, r2=32):
                                route="dynslice", seed=0, hist_subtract=sub)
 
                 def single(b, y_, w_, rid_, ks):
-                    forest, imp, hist = _fit_impl(
+                    out = _fit_impl(
                         b, y_, w_, rid_, b[:1], y_[:1],
                         jnp.ones((1,), bool), ks,
                         p, objectives.logistic, False, None, 0)
-                    return forest.leaf_value.sum()
+                    return out[0].leaf_value.sum()
 
                 fit = jax.jit(jax.vmap(single))
                 ks = keys[:, :r]
