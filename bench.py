@@ -298,7 +298,7 @@ def main():
             mesh = make_mesh(1)
             out_sh, timings_sh = run_v92d_pipeline_sharded(
                 mesh, tr_packed, tr_meta, te_packed, te_meta,
-                gp_steps=200, chunk_size=2048)
+                gp_steps=100, chunk_size=2048)
             sh_total = time.perf_counter() - t0
             log(f"[sharded] v92d pipeline on 1-chip mesh: {sh_total:.2f}s "
                 f"(vs {value:.2f}s single-device; "

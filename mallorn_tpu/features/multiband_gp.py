@@ -58,9 +58,16 @@ def extract(packed: PackedLightcurves, meta=None, n_steps: int = 100,
 
     from mallorn_tpu.utils.aot_cache import call_cached
 
+    tc_global = min(T, int(np.ceil(max(int(counts.max(initial=1)), 32) / 32)
+                           * 32))
+    # the two-phase gate is decided ONCE from the dataset-global
+    # compaction width so chunking (and chunk membership) never changes
+    # which optimization path an object takes — features must be
+    # chunk-invariant (test_sharded_chunked_extraction_matches_unchunked)
+    two_phase = bool(tc_global > 1.5 * _T_COARSE and n_steps >= 30)
     if n <= chunk_size:
-        tc = min(T, int(np.ceil(max(int(counts.max(initial=1)), 32) / 32) * 32))
-        return call_cached(_extract_chunk, (packed, n_steps, tc), tag="gp2d", static_argnums=(1, 2))
+        return call_cached(_extract_chunk, (packed, n_steps, tc_global, two_phase),
+                           tag="gp2d", static_argnums=(1, 2, 3))
 
     from mallorn_tpu.data.packing import pad_objects
 
@@ -74,16 +81,20 @@ def extract(packed: PackedLightcurves, meta=None, n_steps: int = 100,
         if len(idx) < chunk_size:
             sub = pad_objects(sub, chunk_size)
         tc = min(T, int(np.ceil(max(int(counts[idx].max()), 32) / 32) * 32))
-        out = call_cached(_extract_chunk, (sub, n_steps, tc), tag="gp2d", static_argnums=(1, 2))
+        out = call_cached(_extract_chunk, (sub, n_steps, tc, two_phase),
+                          tag="gp2d", static_argnums=(1, 2, 3))
         outs.append({k: v[: len(idx)] for k, v in out.items()})
     cat = {k: jnp.concatenate([o[k] for o in outs]) for k in outs[0]}
     inv = np.argsort(order)  # undo the count sort
     return {k: v[inv] for k, v in cat.items()}
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
+_T_COARSE = 64
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def _extract_chunk(packed: PackedLightcurves, n_steps: int,
-                   t_compact: int) -> FeatureSet:
+                   t_compact: int, two_phase: bool = None) -> FeatureSet:
     at, af, ae, ab, am = (packed.all_time, packed.all_flux, packed.all_err,
                           packed.all_band, packed.all_mask)
     n_obj = packed.n_objects
@@ -114,8 +125,10 @@ def _extract_chunk(packed: PackedLightcurves, n_steps: int,
         gather = lambda a: jnp.take_along_axis(a, perm, axis=1)
         t, lam, y, yerr, use = map(gather, (t, lam, y, yerr, use))
 
-    T_COARSE = 64
-    if t_compact > 1.5 * T_COARSE and n_steps >= 30:
+    T_COARSE = _T_COARSE
+    if two_phase is None:  # direct callers: decide from this chunk alone
+        two_phase = t_compact > 1.5 * T_COARSE and n_steps >= 30
+    if two_phase:
         # two-phase optimization: the O(T^3) Cholesky chain dominates the
         # pipeline, but hyperparameters of a smooth Matern kernel are
         # statistically well-determined by an even ~64-point subsample.

@@ -54,6 +54,7 @@ def extract_v34a_bundle_sharded(
     mesh, packed: PackedLightcurves, meta: Metadata,
     gp_steps: int = 100,
     chunk_size: Optional[int] = None,
+    _gp_two_phase: Optional[bool] = None,
 ) -> Dict[str, FeatureSet]:
     """All four v34a feature caches with extraction sharded over the mesh.
 
@@ -68,38 +69,61 @@ def extract_v34a_bundle_sharded(
     """
     n = packed.n_objects
     if chunk_size is not None and n > chunk_size:
-        import jax.numpy as jnp
-
         from mallorn_tpu.data.packing import pad_objects
 
+        # process objects in valid-count-sorted order (like the
+        # single-device multiband_gp.extract): each chunk's GP time axis
+        # compacts to the chunk's own max count, so sparse chunks pay a
+        # (T_c/T)^3 fraction of the Cholesky cost instead of everyone
+        # paying the dataset max. Per-object outputs are exact, so the
+        # permutation is undone at the end.
+        af_ = np.asarray(packed.all_flux)
+        ae_ = np.asarray(packed.all_err)
+        am_ = np.asarray(packed.all_mask)
+        counts_ = (am_ & np.isfinite(af_) & np.isfinite(ae_)
+                   & (ae_ > 0)).sum(1)
+        order = np.argsort(counts_, kind="stable")
+        # two-phase GP gate decided from the GLOBAL compaction width so
+        # chunk membership never changes an object's optimization path
+        # (mirrors multiband_gp.extract)
+        T_ = packed.all_time.shape[1]
+        tc_g = min(T_, int(np.ceil(max(int(counts_.max(initial=1)), 32)
+                                   / 32) * 32))
+        gp_two_phase = bool(tc_g > 1.5 * multiband_gp._T_COARSE
+                            and gp_steps >= 30)
+
+        fields = [np.asarray(x) if hasattr(x, "ndim") and x.ndim >= 1 else x
+                  for x in packed[:-1]]
         outs = []
         for s in range(0, n, chunk_size):
-            e = min(s + chunk_size, n)
+            idx = order[s: s + chunk_size]
             sub = PackedLightcurves(
-                *[x[s:e] if hasattr(x, "ndim") and x.ndim >= 1 else x
-                  for x in packed[:-1]], time_offset=packed.time_offset)
-            if e - s < chunk_size:
+                *[x[idx] if hasattr(x, "ndim") and x.ndim >= 1 else x
+                  for x in fields], time_offset=packed.time_offset)
+            if len(idx) < chunk_size:
                 sub = pad_objects(sub, chunk_size)
 
             def _slice_meta(x):
                 if x is None:
                     return None
-                x = np.asarray(x)[s:e]
-                if e - s < chunk_size:
+                x = np.asarray(x)[idx]
+                if len(idx) < chunk_size:
                     x = np.concatenate(
-                        [x, np.zeros((chunk_size - (e - s),) + x.shape[1:],
+                        [x, np.zeros((chunk_size - len(idx),) + x.shape[1:],
                                      x.dtype)])
                 return x
 
             sub_meta = Metadata(
-                object_ids=np.asarray(meta.object_ids)[s:e],
+                object_ids=np.asarray(meta.object_ids)[idx],
                 z=_slice_meta(meta.z), ebv=_slice_meta(meta.ebv),
                 target=meta.target, spec_type=meta.spec_type)
-            out = extract_v34a_bundle_sharded(mesh, sub, sub_meta, gp_steps)
-            outs.append({fam: {k: np.asarray(v)[: e - s]
+            out = extract_v34a_bundle_sharded(mesh, sub, sub_meta, gp_steps,
+                                              _gp_two_phase=gp_two_phase)
+            outs.append({fam: {k: np.asarray(v)[: len(idx)]
                                for k, v in fs.items()}
                          for fam, fs in out.items()})
-        return {fam: {k: np.concatenate([o[fam][k] for o in outs])
+        inv = np.argsort(order)  # undo the count sort
+        return {fam: {k: np.concatenate([o[fam][k] for o in outs])[inv]
                       for k in outs[0][fam]}
                 for fam in outs[0]}
 
@@ -114,6 +138,9 @@ def extract_v34a_bundle_sharded(
     counts = (am & np.isfinite(af) & np.isfinite(ae) & (ae > 0)).sum(1)
     T = packed.all_time.shape[1]
     tc = min(T, int(np.ceil(max(int(counts.max(initial=1)), 32) / 32) * 32))
+    if _gp_two_phase is None:
+        _gp_two_phase = bool(tc > 1.5 * multiband_gp._T_COARSE
+                             and gp_steps >= 30)
 
     def _trim(fs: FeatureSet) -> FeatureSet:
         """Gather a family with ONE device->host transfer (per-column
@@ -132,11 +159,17 @@ def extract_v34a_bundle_sharded(
         physics.extract(packed_sh, meta_sh),
         pandas_suffix=True,
     )
+    from mallorn_tpu.utils.aot_cache import call_cached
+
     return {
         "features_v4": _trim(features_v4),
         "tde_physics": _trim(tde.extract(packed_sh)),
-        "multiband_gp": _trim(
-            multiband_gp._extract_chunk(packed_sh, gp_steps, tc)),
+        # same AOT-cached entry point as the single-device path (a fresh
+        # process otherwise pays a full remote GP compile on the mesh)
+        "multiband_gp": _trim(call_cached(
+            multiband_gp._extract_chunk,
+            (packed_sh, gp_steps, tc, _gp_two_phase),
+            tag="gp2d", static_argnums=(1, 2, 3))),
         "bazin": _trim(bazin.extract(packed_sh)),
     }
 

@@ -151,13 +151,21 @@ def train_cv(
             if use_scale_pos_weight else 1.0
 
     if batched_folds:
+        # one parent matrix + per-fold row indices lets _stack_folds bin
+        # all folds from a single global sort (fit_bins_folds)
+        X_parent = np.asarray(X_train, np.float32)
+        if X_ext is not None:
+            X_parent = np.vstack([X_parent, X_ext])
         folds = []
         for tr, va in splits:
             Xf, yf, wf = fold_rows(tr)
+            tr_idx = (tr if X_ext is None
+                      else np.concatenate([tr, len(y) + np.arange(n_ext)]))
             folds.append({
                 "X": Xf, "y": yf, "w": wf,
                 "X_val": X_train[va], "y_val": y[va],
                 "spw": fold_spw(yf), "seed": params.seed,
+                "X_parent": X_parent, "tr_idx": tr_idx,
             })
         if mesh is not None:
             from mallorn_tpu.parallel.sharded_train import train_gbdt_folds_sharded

@@ -444,6 +444,7 @@ def run_seed_ensemble(
                 "w": sample_weight[tr] if sample_weight is not None else None,
                 "X_val": X_train[va], "y_val": y[va],
                 "spw": spw, "seed": seed,
+                "X_parent": X_train, "tr_idx": tr,
             })
             lane_meta.append((seed, va))
 

@@ -1000,8 +1000,36 @@ def _stack_folds(folds, params: GBDTParams, pad_rows_to, pad_val_rows_to,
     _t_bins = _t_apply = 0.0
     _t0 = _time.perf_counter()
     stacks = {k: [] for k in ("binned", "y", "w", "binned_val", "yv", "vmask", "keys")}
+
+    # shared-sort binning: when every fold is a row-subset of ONE parent
+    # matrix (the K-fold CV case), per-fold quantile edges come from a
+    # single global per-column sort instead of K fresh sorts — exactly
+    # equal edges (test_fit_bins_folds_equals_per_fold), ~3x cheaper on
+    # this 1-core host (binning was ~3 s of the adversarial stage)
+    shared_specs = None
+    parents = [f.get("X_parent") for f in folds]
+    idxs = [f.get("tr_idx") for f in folds]
+    if (all(p is not None for p in parents)
+            and all(i is not None for i in idxs)
+            and all(p is parents[0] for p in parents)
+            and all(len(np.unique(i)) == len(i) for i in idxs)):
+        from mallorn_tpu.trees.binning import fit_bins_folds
+
+        _tb0 = _time.perf_counter()
+        Xp = np.asarray(parents[0], np.float32)
+        if pad_features_to and pad_features_to > Xp.shape[1]:
+            ext = pad_features_to - Xp.shape[1]
+            Xp = np.concatenate(
+                [Xp, np.full((len(Xp), ext), np.nan, np.float32)], 1)
+        w_bases = [np.ones(len(i), np.float32) if f.get("w") is None
+                   else np.asarray(f["w"], np.float32)
+                   for f, i in zip(folds, idxs)]
+        shared_specs = fit_bins_folds(Xp, idxs, params.n_bins,
+                                      sample_weights=w_bases)
+        _t_bins += _time.perf_counter() - _tb0
+
     specs = []
-    for f in folds:
+    for fi, f in enumerate(folds):
         X, y_f = np.asarray(f["X"], np.float32), np.asarray(f["y"], np.float32)
         Xv, yv_f = np.asarray(f["X_val"], np.float32), np.asarray(f["y_val"], np.float32)
         if pad_features_to and pad_features_to > X.shape[1]:
@@ -1016,7 +1044,8 @@ def _stack_folds(folds, params: GBDTParams, pad_rows_to, pad_val_rows_to,
         w = w_base * np.where(y_f > 0.5, f.get("spw", 1.0), 1.0)
 
         _tb = _time.perf_counter()
-        spec = fit_bins(X, params.n_bins, sample_weight=w_base)
+        spec = (shared_specs[fi] if shared_specs is not None
+                else fit_bins(X, params.n_bins, sample_weight=w_base))
         specs.append(spec)
         _ta = _time.perf_counter()
         _t_bins += _ta - _tb

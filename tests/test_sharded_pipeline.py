@@ -107,8 +107,16 @@ def test_sharded_chunked_extraction_matches_unchunked(splits):
                 # bazin params come from 60 LM iterations: lanes near a
                 # fit bifurcation flip under different batch layouts, and
                 # cross-band consistency aggregates amplify single flips —
-                # distribution-level gates like the sharded-vs-single test
-                gate = 0.6 if fam == "bazin" else 0.98
+                # distribution-level gates like the sharded-vs-single test.
+                # multiband_gp: count-sorted chunks give each chunk its own
+                # time-compaction width, so reduction order through the
+                # Cholesky + Adam chain differs per chunk — knife-edge
+                # lanes can drift past rtol (same property as the
+                # single-device count-sorted path); mass divergence is
+                # still gated by the per-key floor + family mean below
+                gate = {"bazin": 0.6, "multiband_gp": 0.90}.get(fam, 0.98)
                 assert close.mean() >= gate, (fam, k, cs, close.mean())
             if fam == "bazin":
                 assert np.mean(fracs) >= 0.9, (cs, np.mean(fracs))
+            if fam == "multiband_gp":
+                assert np.mean(fracs) >= 0.97, (cs, np.mean(fracs))

@@ -130,3 +130,33 @@ def test_native_apply_bins_matches_numpy():
         want[:, j] = np.searchsorted(edges[j], Xc[:, j], side="right")
     want[np.isnan(X)] = spec.n_bins
     np.testing.assert_array_equal(got, want)
+
+
+def test_fit_bins_folds_equals_per_fold():
+    """fit_bins_folds (one global sort + per-fold gather) must be exactly
+    equal to fit_bins on each fold's sliced matrix — uniform AND weighted,
+    with NaN/inf/all-NaN-column edge cases."""
+    from mallorn_tpu.trees.binning import fit_bins, fit_bins_folds
+
+    rng = np.random.default_rng(7)
+    n, f = 400, 23
+    X = rng.normal(size=(n, f)).astype(np.float64)
+    X[rng.random(X.shape) < 0.25] = np.nan
+    X[:, 3] = np.nan  # all-NaN column
+    X[0, 1], X[1, 1] = np.inf, -np.inf
+    X[:, 5] = np.round(X[:, 5] * 2)  # heavy ties (stable-sort order matters)
+
+    folds = [rng.choice(n, size=320, replace=False) for _ in range(4)]
+    w_uniform = [np.ones(320, np.float32)] * 4
+    w_mixed = [rng.random(320).astype(np.float32) + 0.5 for _ in range(4)]
+    w_mixed[2] = np.ones(320, np.float32)  # one uniform fold among weighted
+
+    for ws in (None, w_uniform, w_mixed):
+        got = fit_bins_folds(X, folds, n_bins=16, sample_weights=ws)
+        for k, idx in enumerate(folds):
+            want = fit_bins(X[idx], 16,
+                            sample_weight=None if ws is None else ws[k])
+            np.testing.assert_array_equal(
+                np.asarray(got[k].edges), np.asarray(want.edges),
+                err_msg=f"fold {k} ws={'None' if ws is None else 'set'}")
+            assert got[k].n_bins == want.n_bins
