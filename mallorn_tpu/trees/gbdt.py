@@ -96,6 +96,10 @@ class GBDTParams(NamedTuple):
     # kernel (half the matmul columns); each right child is the parent's
     # retained histogram minus its sibling's. Binlane path only.
     hist_subtract: bool = True
+    # ABLATION ONLY (tools/probe_fit_ablate.py): replace every histogram
+    # build with a cheap synthetic ramp that still forces realistic
+    # splits + routing, to measure the non-histogram round chain.
+    stub_hist: bool = False
 
 
 class Forest(NamedTuple):
@@ -375,7 +379,17 @@ def _train_tree(binned_T, binned, grad, hess, col_mask, p: GBDTParams, axis_name
             else:
                 fb = hist_pallas.F_BLOCK
                 rc = bl_rc
-            if mode == "int8":
+            if p.stub_hist:
+                # probe-only: ramp grads (split at mid-bin gains > 0 so
+                # the search/routing/update chain runs realistically),
+                # data dependence keeps it from constant-folding
+                ramp = (jnp.arange(n_bins_tot, dtype=jnp.float32)
+                        - n_bins_tot / 2) / n_bins_tot
+                hist = jnp.broadcast_to(
+                    jnp.stack([ramp, jnp.ones_like(ramp)], -1)
+                    * (1.0 + grad[0] * 1e-20),
+                    (n_f, k_nodes, n_bins_tot, 2))
+            elif mode == "int8":
                 gd, s_g, s_h = payload
                 hist = _psum(hist_pallas.build_histograms_binlane_i8(
                     bhot, hib, node_q, gd, s_g, s_h, k_nodes, n_bins_tot,

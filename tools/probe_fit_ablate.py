@@ -75,11 +75,8 @@ def main():
         "onehot routing", base._replace(route="onehot"))
     out["depth4"] = time_variant("depth 4", base._replace(max_depth=4))
     out["depth3"] = time_variant("depth 3", base._replace(max_depth=3))
-    out["depth2"] = time_variant("depth 2", base._replace(max_depth=2))
-    out["depth1"] = time_variant("depth 1", base._replace(max_depth=1))
-    out["no_es"] = time_variant(
-        "no early-stop tracking",
-        base, has_val=True, r1=8, r2=24) if False else out["full"]
+    out["stub_hist"] = time_variant(
+        "hist stubbed (non-hist chain)", base._replace(stub_hist=True))
     json_path = "/root/repo/tools/probe_ablate.json"
     with open(json_path, "w") as f:
         json.dump(out, f, indent=2)
