@@ -88,7 +88,12 @@ def train_gbdt_sharded(mesh: Mesh, X, y, params: GBDTParams,
 
     n_dev = mesh.devices.size
     n = len(X)
-    n_pad = ((n + n_dev - 1) // n_dev) * n_dev
+    # per-shard rows must be a 512 multiple on TPU so the bin-lane
+    # histogram kernel's row chunk tiles them (see train_gbdt_folds_sharded)
+    import math
+
+    q = math.lcm(512, n_dev) if jax.default_backend() == "tpu" else n_dev
+    n_pad = ((n + q - 1) // q) * q
 
     Xp = np.concatenate([np.asarray(X, np.float32),
                          np.full((n_pad - n, X.shape[1]), np.nan, np.float32)])
@@ -152,11 +157,21 @@ def train_gbdt_folds_sharded(
         objective = objectives.logistic
 
     n_dev = mesh.devices.size
+    # per-SHARD row counts are what _fit_impl traces with inside the
+    # shard_map, so the row quantum on TPU is lcm(512, n_dev): each
+    # shard's rows must be a 512 multiple for the bin-lane histogram
+    # kernel's row chunk to tile exactly (_pick_row_chunk returns 0 on
+    # awkward counts like 8142, silently dropping to the ~2.5x-slower
+    # per-level one-hot path — measured in the round-3 sharded bench)
+    import math
 
-    def _round_up(x):
-        return ((x + n_dev - 1) // n_dev) * n_dev
+    row_q = math.lcm(512, n_dev) if jax.default_backend() == "tpu" else n_dev
 
-    pad_rows_to = _round_up(pad_rows_to or max(len(f["X"]) for f in folds))
+    def _round_up(x, q=n_dev):
+        return ((x + q - 1) // q) * q
+
+    pad_rows_to = _round_up(pad_rows_to or max(len(f["X"]) for f in folds),
+                            row_q)
     pad_val_rows_to = _round_up(
         pad_val_rows_to or max(len(f["X_val"]) for f in folds))
     if jax.default_backend() == "tpu":
@@ -167,6 +182,13 @@ def train_gbdt_folds_sharded(
         f_real_max = max(np.asarray(f["X"]).shape[1] for f in folds)
         pad_features_to = ((max(pad_features_to or 0, f_real_max) + 31)
                            // 32) * 32
+        if params.use_binlane_hist is None:
+            # same HBM gate as train_gbdt_folds, at per-shard sizes
+            bpe = 128 if params.hist_dtype in ("int8", "i8bf16") else 256
+            bl_bytes = (len(folds) * pad_features_to
+                        * (pad_rows_to // n_dev) * bpe)
+            if bl_bytes > 5.5e9:
+                params = params._replace(use_binlane_hist=False)
     arrs, specs, n_feat_real = _stack_folds(
         folds, params, pad_rows_to, pad_val_rows_to, pad_features_to)
 
