@@ -294,16 +294,21 @@ def main():
             from mallorn_tpu.parallel.mesh import make_mesh
             from mallorn_tpu.parallel.pipeline import run_v92d_pipeline_sharded
 
-            t0 = time.perf_counter()
             mesh = make_mesh(1)
-            out_sh, timings_sh = run_v92d_pipeline_sharded(
-                mesh, tr_packed, tr_meta, te_packed, te_meta,
-                gp_steps=100, chunk_size=2048)
-            sh_total = time.perf_counter() - t0
-            log(f"[sharded] v92d pipeline on 1-chip mesh: {sh_total:.2f}s "
-                f"(vs {value:.2f}s single-device; "
-                f"timings={ {k: round(v, 1) for k, v in timings_sh.items()} }, "
-                f"OOF F1={out_sh.winner.best_f1:.4f})")
+            # pass 1 pays the mesh executables' relay uploads; pass 2 is
+            # the steady-state mesh number VERDICT r2 #7 asks about
+            for sh_tag in ("cold", "warm"):
+                t0 = time.perf_counter()
+                out_sh, timings_sh = run_v92d_pipeline_sharded(
+                    mesh, tr_packed, tr_meta, te_packed, te_meta,
+                    gp_steps=100, chunk_size=2048)
+                sh_total = time.perf_counter() - t0
+                log(f"[sharded/{sh_tag}] v92d pipeline on 1-chip mesh: "
+                    f"{sh_total:.2f}s (vs {value:.2f}s single-device; "
+                    f"timings={ {k: round(v, 1) for k, v in timings_sh.items()} }, "
+                    f"OOF F1={out_sh.winner.best_f1:.4f})")
+                if time.perf_counter() - t_start > 1500:
+                    break
         except Exception as e:
             log(f"[sharded] mesh pass failed ({e!r}) — continuing")
     else:
