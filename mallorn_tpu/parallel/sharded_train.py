@@ -27,6 +27,23 @@ from mallorn_tpu.trees.gbdt import GBDTParams, _train_tree
 from mallorn_tpu.trees.binning import BinSpec, apply_bins
 
 
+def _row_quantum(n_dev: int, backend: str | None = None) -> int:
+    """Row-padding quantum for mesh training.
+
+    Per-SHARD row counts are what ``_fit_impl`` traces with inside the
+    shard_map, so on TPU the global row axis must be a multiple of
+    512 * n_dev: each shard's rows must be a 512 multiple for the
+    bin-lane histogram kernel's row chunk to tile exactly
+    (``_pick_row_chunk`` returns 0 on awkward counts like 8142, silently
+    dropping to the ~2.5x-slower per-level one-hot path — measured in
+    the round-3 sharded bench, PERF.md). Padded rows are zero-weight and
+    inert. CPU meshes keep the natural n_dev quantum so sharded forests
+    compare exactly against the unpadded single-device reference in
+    tests."""
+    backend = backend or jax.default_backend()
+    return 512 * n_dev if backend == "tpu" else n_dev
+
+
 def make_sharded_training_step(mesh: Mesh, params: GBDTParams,
                                feature_names, bin_spec: BinSpec,
                                axis: str = OBJ_AXIS):
@@ -88,11 +105,7 @@ def train_gbdt_sharded(mesh: Mesh, X, y, params: GBDTParams,
 
     n_dev = mesh.devices.size
     n = len(X)
-    # per-shard rows must be a 512 multiple on TPU so the bin-lane
-    # histogram kernel's row chunk tiles them (see train_gbdt_folds_sharded)
-    import math
-
-    q = math.lcm(512, n_dev) if jax.default_backend() == "tpu" else n_dev
+    q = _row_quantum(n_dev)
     n_pad = ((n + q - 1) // q) * q
 
     Xp = np.concatenate([np.asarray(X, np.float32),
@@ -157,15 +170,7 @@ def train_gbdt_folds_sharded(
         objective = objectives.logistic
 
     n_dev = mesh.devices.size
-    # per-SHARD row counts are what _fit_impl traces with inside the
-    # shard_map, so the row quantum on TPU is lcm(512, n_dev): each
-    # shard's rows must be a 512 multiple for the bin-lane histogram
-    # kernel's row chunk to tile exactly (_pick_row_chunk returns 0 on
-    # awkward counts like 8142, silently dropping to the ~2.5x-slower
-    # per-level one-hot path — measured in the round-3 sharded bench)
-    import math
-
-    row_q = math.lcm(512, n_dev) if jax.default_backend() == "tpu" else n_dev
+    row_q = _row_quantum(n_dev)
 
     def _round_up(x, q=n_dev):
         return ((x + q - 1) // q) * q

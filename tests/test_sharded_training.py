@@ -120,3 +120,27 @@ def test_sharded_folds_match_batched_folds():
                                    np.asarray(m_got.eval_history),
                                    rtol=1e-4, atol=1e-5)
         assert m_ref.best_iteration == m_got.best_iteration
+
+
+def test_row_quantum_keeps_binlane_kernel_viable():
+    """Regression for the round-3 sharded slowdown: TPU row padding must
+    leave every shard's row count tileable by the bin-lane histogram
+    kernel (_pick_row_chunk >= 256), or the fit silently drops to the
+    ~2.5x-slower per-level one-hot path (PERF.md, sharded section)."""
+    from mallorn_tpu.parallel.sharded_train import _row_quantum
+    from mallorn_tpu.trees.gbdt import _pick_row_chunk
+
+    assert _row_quantum(1, backend="tpu") == 512
+    assert _row_quantum(8, backend="tpu") == 4096
+    assert _row_quantum(3, backend="tpu") == 1536
+    # CPU meshes keep the natural quantum so identical-trees tests can
+    # compare unpadded against the single-device reference
+    assert _row_quantum(8, backend="cpu") == 8
+
+    for n_dev in (1, 2, 4, 8):
+        q = _row_quantum(n_dev, backend="tpu")
+        for n in (600, 2464, 8142, 10178, 16384):
+            padded = ((n + q - 1) // q) * q
+            per_shard = padded // n_dev
+            assert per_shard % 512 == 0
+            assert _pick_row_chunk(per_shard, cap=2048) >= 256, (n_dev, n)
