@@ -165,7 +165,7 @@ def train_cv(
                 "X": Xf, "y": yf, "w": wf,
                 "X_val": X_train[va], "y_val": y[va],
                 "spw": fold_spw(yf), "seed": params.seed,
-                "X_parent": X_parent, "tr_idx": tr_idx,
+                "X_parent": X_parent, "tr_idx": tr_idx, "va_idx": va,
             })
         if mesh is not None:
             from mallorn_tpu.parallel.sharded_train import train_gbdt_folds_sharded

@@ -300,3 +300,36 @@ def _apply_bins_native(X: np.ndarray, edges: np.ndarray,
         n, f, ed.shape[1], n_bins,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), 0)
     return out
+
+
+def apply_bins_folds_gather(X_parent: jnp.ndarray, edges: jnp.ndarray,
+                            idx: jnp.ndarray, n_bins: int) -> jnp.ndarray:
+    """Device-side per-fold row gather + bin assignment.
+
+    X_parent: [n, F] f32 (the CV stages' shared parent matrix)
+    edges:    [K, F, n_bins-1] f32 per-fold ascending split points
+              (inf-padded past the real edges, as BinSpec stores them)
+    idx:      [K, R] i32 row indices into X_parent; NEGATIVE = padding
+    Returns [K, R, F] int16 bin ids, exactly equal to stacking
+    ``apply_bins_np(spec_k, X_parent[idx_k])`` per fold and zero-filling
+    the padded rows (tests/test_weighted_binning.py pins this) — so the
+    fold-fit executables see bit-identical inputs either way.
+
+    Replaces the host stack path's per-fold fancy gather + native
+    searchsorted + host->device ship of the binned stacks: on the
+    benchmark's 1-core host those were 1.5-10 s of the warm pipeline
+    (CPU-steal dependent, PERF.md); here they are a ~ms device op and
+    the only transfer is the parent matrix once. side='right'
+    searchsorted == count of edges <= x, computed as a compare-reduce
+    (exact: f32 comparisons, no arithmetic).
+    """
+    def one_fold(e_k, idx_k):
+        valid = idx_k >= 0
+        x = X_parent[jnp.clip(idx_k, 0, X_parent.shape[0] - 1)]  # [R, F]
+        xc = jnp.clip(x, -1e10, 1e10)
+        b = jnp.sum(e_k[None, :, :] <= xc[:, :, None], axis=-1,
+                    dtype=jnp.int32)  # [R, F]
+        b = jnp.where(jnp.isnan(x), n_bins, b)
+        return jnp.where(valid[:, None], b, 0).astype(jnp.int16)
+
+    return jax.vmap(one_fold)(edges, idx)

@@ -1042,14 +1042,24 @@ def _stack_folds(folds, params: GBDTParams, pad_rows_to, pad_val_rows_to,
                                       sample_weights=w_bases)
         _t_bins += _time.perf_counter() - _tb0
 
+    # device fold binning: with a shared parent and per-fold row indices,
+    # the per-fold row gather + searchsorted + host->device ship of the
+    # binned stacks (1.5-10 s of host time per stage on the benchmark's
+    # 1-core host, CPU-steal dependent) collapses to ONE parent-matrix
+    # transfer + a compare-reduce kernel. apply_bins_folds_gather is
+    # pinned bit-equal to the host path, so the fold-fit executables see
+    # identical inputs either way.
+    use_dev = (shared_specs is not None
+               and all(f.get("va_idx") is not None for f in folds)
+               and (jax.default_backend() == "tpu"
+                    # test hook: exercise this path on CPU
+                    or _os.environ.get("MALLORN_DEVICE_STACK") == "1"))
+
     specs = []
     for fi, f in enumerate(folds):
-        X, y_f = np.asarray(f["X"], np.float32), np.asarray(f["y"], np.float32)
-        Xv, yv_f = np.asarray(f["X_val"], np.float32), np.asarray(f["y_val"], np.float32)
-        if pad_features_to and pad_features_to > X.shape[1]:
-            ext = pad_features_to - X.shape[1]
-            X = np.concatenate([X, np.full((len(X), ext), np.nan, np.float32)], 1)
-            Xv = np.concatenate([Xv, np.full((len(Xv), ext), np.nan, np.float32)], 1)
+        y_f = np.asarray(f["y"], np.float32)
+        yv_f = np.asarray(f["y_val"], np.float32)
+        n_tr, n_va = len(y_f), len(yv_f)
         w_base = f.get("w")
         w_base = (np.ones(len(y_f), np.float32) if w_base is None
                   else np.asarray(w_base, np.float32))
@@ -1057,18 +1067,39 @@ def _stack_folds(folds, params: GBDTParams, pad_rows_to, pad_val_rows_to,
         # the objective, not the bin edges (XGBoost semantics)
         w = w_base * np.where(y_f > 0.5, f.get("spw", 1.0), 1.0)
 
-        _tb = _time.perf_counter()
-        spec = (shared_specs[fi] if shared_specs is not None
-                else fit_bins(X, params.n_bins, sample_weight=w_base))
-        specs.append(spec)
-        _ta = _time.perf_counter()
-        _t_bins += _ta - _tb
+        if use_dev:
+            specs.append(shared_specs[fi])
+        else:
+            X = np.asarray(f["X"], np.float32)
+            Xv = np.asarray(f["X_val"], np.float32)
+            if pad_features_to and pad_features_to > X.shape[1]:
+                ext = pad_features_to - X.shape[1]
+                X = np.concatenate(
+                    [X, np.full((len(X), ext), np.nan, np.float32)], 1)
+                Xv = np.concatenate(
+                    [Xv, np.full((len(Xv), ext), np.nan, np.float32)], 1)
 
-        binned = apply_bins_np(spec, X)
-        binned_val = apply_bins_np(spec, Xv)
-        _t_apply += _time.perf_counter() - _ta
+            _tb = _time.perf_counter()
+            spec = (shared_specs[fi] if shared_specs is not None
+                    else fit_bins(X, params.n_bins, sample_weight=w_base))
+            specs.append(spec)
+            _ta = _time.perf_counter()
+            _t_bins += _ta - _tb
 
-        er, ev = pad_rows_to - len(X), pad_val_rows_to - len(Xv)
+            binned = apply_bins_np(spec, X)
+            binned_val = apply_bins_np(spec, Xv)
+            _t_apply += _time.perf_counter() - _ta
+
+        er, ev = pad_rows_to - n_tr, pad_val_rows_to - n_va
+        if use_dev:
+            stacks["y"].append(np.concatenate([y_f, np.zeros(er, np.float32)]))
+            stacks["w"].append(np.concatenate([w, np.zeros(er, np.float32)]))
+            stacks["yv"].append(np.concatenate([yv_f, np.zeros(ev, np.float32)]))
+            stacks["vmask"].append(np.concatenate(
+                [np.ones(n_va, bool), np.zeros(ev, bool)]))
+            stacks["keys"].append(np.asarray(jax.random.split(
+                jax.random.PRNGKey(f.get("seed", params.seed)), params.n_rounds)))
+            continue
         stacks["binned"].append(np.concatenate(
             [binned, np.zeros((er, binned.shape[1]), binned.dtype)]))
         stacks["y"].append(np.concatenate([y_f, np.zeros(er, np.float32)]))
@@ -1082,7 +1113,29 @@ def _stack_folds(folds, params: GBDTParams, pad_rows_to, pad_val_rows_to,
             jax.random.PRNGKey(f.get("seed", params.seed)), params.n_rounds)))
 
     _tp = _time.perf_counter()
-    arrs = {k: jnp.asarray(np.stack(v)) for k, v in stacks.items()}
+    arrs = {k: jnp.asarray(np.stack(v)) for k, v in stacks.items() if v}
+    if use_dev:
+        _ta = _time.perf_counter()
+        from mallorn_tpu.trees.binning import apply_bins_folds_gather
+        from mallorn_tpu.utils.aot_cache import call_cached
+
+        k_f = len(folds)
+        # one [K, R + RV] index stack -> one executable per stage shape
+        idx_all = np.full((k_f, pad_rows_to + pad_val_rows_to), -1, np.int32)
+        for k, f in enumerate(folds):
+            ti = np.asarray(f["tr_idx"], np.int32)
+            vi = np.asarray(f["va_idx"], np.int32)
+            idx_all[k, : len(ti)] = ti
+            idx_all[k, pad_rows_to: pad_rows_to + len(vi)] = vi
+        edges = jnp.stack([s.edges for s in specs])  # [K, F, n_bins-1]
+        Xp_d = jnp.asarray(Xp)
+        fn = jax.jit(apply_bins_folds_gather, static_argnums=(3,))
+        binned_all = call_cached(
+            fn, (Xp_d, edges, jnp.asarray(idx_all), params.n_bins),
+            tag="gbdt_stackbin", static_argnums=(3,))
+        arrs["binned"] = binned_all[:, :pad_rows_to]
+        arrs["binned_val"] = binned_all[:, pad_rows_to:]
+        _t_apply += _time.perf_counter() - _ta
     arrs["row_ids"] = jnp.broadcast_to(
         jnp.arange(pad_rows_to, dtype=jnp.int32), (len(folds), pad_rows_to))
     n_feat_real = np.asarray(folds[0]["X"], np.float32).shape[1]

@@ -160,3 +160,76 @@ def test_fit_bins_folds_equals_per_fold():
                 np.asarray(got[k].edges), np.asarray(want.edges),
                 err_msg=f"fold {k} ws={'None' if ws is None else 'set'}")
             assert got[k].n_bins == want.n_bins
+
+
+def test_apply_bins_folds_gather_matches_host():
+    """Device fold binning (gather + compare-reduce) == per-fold host
+    apply_bins_np + zero row padding, bit-exact, incl. NaN/inf/all-NaN
+    columns and padded (negative) indices."""
+    import jax.numpy as jnp
+
+    from mallorn_tpu.trees.binning import (apply_bins_folds_gather,
+                                           apply_bins_np, fit_bins)
+
+    rng = np.random.default_rng(3)
+    n, f, n_bins = 300, 17, 16
+    X = rng.normal(size=(n, f)).astype(np.float32)
+    X[rng.random(X.shape) < 0.2] = np.nan
+    X[:, 4] = np.nan  # all-NaN column
+    X[0, 2], X[1, 2] = np.inf, -np.inf
+    X[:, 6] = np.round(X[:, 6])  # ties on bin edges
+
+    folds = [rng.choice(n, size=220, replace=False) for _ in range(3)]
+    specs = [fit_bins(X[idx], n_bins) for idx in folds]
+
+    R = 256  # padded rows
+    idx_pad = np.full((3, R), -1, np.int32)
+    for k, idx in enumerate(folds):
+        idx_pad[k, : len(idx)] = idx
+
+    got = np.asarray(apply_bins_folds_gather(
+        jnp.asarray(X), jnp.stack([s.edges for s in specs]),
+        jnp.asarray(idx_pad), n_bins))
+
+    for k, idx in enumerate(folds):
+        want = np.zeros((R, f), np.int16)
+        want[: len(idx)] = apply_bins_np(specs[k], X[idx])
+        np.testing.assert_array_equal(got[k], want, err_msg=f"fold {k}")
+
+
+def test_stack_folds_device_path_matches_host(monkeypatch):
+    """_stack_folds with the device fold-binning path produces binned
+    stacks identical to the host path (the fold-fit executables must see
+    bit-identical inputs either way)."""
+    from mallorn_tpu.trees.gbdt import GBDTParams, _stack_folds
+
+    rng = np.random.default_rng(11)
+    n, f = 260, 9
+    Xp = rng.normal(size=(n, f)).astype(np.float32)
+    Xp[rng.random(Xp.shape) < 0.15] = np.nan
+    y = (rng.random(n) > 0.7).astype(np.float32)
+
+    folds = []
+    for k in range(3):
+        va = np.nonzero(np.arange(n) % 3 == k)[0]
+        tr = np.nonzero(np.arange(n) % 3 != k)[0]
+        folds.append({"X": Xp[tr], "y": y[tr], "w": None,
+                      "X_val": Xp[va], "y_val": y[va], "spw": 1.5,
+                      "X_parent": Xp, "tr_idx": tr, "va_idx": va})
+
+    params = GBDTParams(n_rounds=4, max_depth=2)
+    args = (folds, params, 192, 96, None)
+
+    monkeypatch.delenv("MALLORN_DEVICE_STACK", raising=False)
+    arrs_host, specs_host, nf_host = _stack_folds(*args)
+    monkeypatch.setenv("MALLORN_DEVICE_STACK", "1")
+    arrs_dev, specs_dev, nf_dev = _stack_folds(*args)
+
+    assert nf_host == nf_dev
+    assert set(arrs_host) == set(arrs_dev)
+    for k in arrs_host:
+        np.testing.assert_array_equal(
+            np.asarray(arrs_host[k]), np.asarray(arrs_dev[k]), err_msg=k)
+    for sh, sd in zip(specs_host, specs_dev):
+        np.testing.assert_array_equal(np.asarray(sh.edges),
+                                      np.asarray(sd.edges))
