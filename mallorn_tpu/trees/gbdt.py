@@ -369,13 +369,17 @@ def _train_tree(binned_T, binned, grad, hess, col_mask, p: GBDTParams, axis_name
                 k_nodes = n_nodes
                 node_q = jnp.where(in_level, local, n_nodes)
             # deep levels widen the per-feature matmul (6C columns grows
-            # with the kernel node count): a narrower feature block + a
-            # fatter row chunk measured fastest there
-            # (tools/probe_sweep.json: sel nodes16 rc2560/fb16 4.55 ms
-            # vs rc1280/fb32 4.83 / rc1280/fb16 5.06)
-            if k_nodes >= 8:
+            # with the kernel node count); best (rc, fb) measured per
+            # width (tools/probe_sweep.json + round-3 k8 sweep:
+            # v92d nodes8 rc1280/fb32 2.00 ms vs rc2560/fb16 2.69;
+            # sel(416f) nodes8 rc1280/fb16 3.68 vs rc2560/fb16 3.81;
+            # nodes16 keeps the narrow-block wide-chunk config)
+            if k_nodes >= 16:
                 fb = 16
                 rc = _pick_row_chunk(node.shape[0], cap=2560) or bl_rc
+            elif k_nodes == 8:
+                fb = 16 if n_f >= 384 else hist_pallas.F_BLOCK
+                rc = _pick_row_chunk(node.shape[0], cap=1280) or bl_rc
             else:
                 fb = hist_pallas.F_BLOCK
                 rc = bl_rc
