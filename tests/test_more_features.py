@@ -118,3 +118,92 @@ def test_interactions_and_categorical(small_dataset):
     assert "z_category" in names and "brightness_category" in names
     for n in names:
         assert set(np.unique(cats[n])) <= {0, 1, 2, 3}
+
+
+def test_peak_ordering_parity(small_dataset):
+    """peak_ordering vs an inline NumPy oracle implementing the
+    reference's per-object algorithm verbatim
+    (reference: scripts/train_v56_agn_peak_ordering.py:130-199)."""
+    import pandas as pd
+    from mallorn_tpu.features import peak_ordering
+    from mallorn_tpu.utils.constants import LSST_BANDS
+    from tests.oracles.frames import to_reference_frames
+
+    packed, meta, cols = small_dataset
+    lc, _ = to_reference_frames(cols, meta)
+
+    def oracle(sub):
+        bands = list(LSST_BANDS)
+        peak_times = {}
+        for band in bands:
+            b = sub[sub["Filter"] == band].sort_values("Time (MJD)")
+            if len(b) < 3:
+                peak_times[band] = np.nan
+                continue
+            tt = b["Time (MJD)"].to_numpy()
+            ff = b["Flux"].to_numpy()
+            peak_times[band] = tt[int(np.argmax(ff))]
+
+        r = {}
+        gp, rp = peak_times["g"], peak_times["r"]
+        r["g_to_r_peak_delay"] = (rp - gp if not (np.isnan(gp) or np.isnan(rp))
+                                  else np.nan)
+        up, ip = peak_times["u"], peak_times["i"]
+        r["u_to_i_peak_delay"] = (ip - up if not (np.isnan(up) or np.isnan(ip))
+                                  else np.nan)
+        blue = [peak_times[b] for b in ("u", "g") if not np.isnan(peak_times[b])]
+        red = [peak_times[b] for b in ("z", "y") if not np.isnan(peak_times[b])]
+        if blue and red:
+            r["blue_to_red_delay"] = min(red) - min(blue)
+            r["is_blue_first"] = 1.0 if min(blue) < min(red) else 0.0
+        else:
+            r["blue_to_red_delay"] = np.nan
+            r["is_blue_first"] = np.nan
+        valid = [(b, t) for b, t in peak_times.items() if not np.isnan(t)]
+        if len(valid) >= 2:
+            s = sorted(valid, key=lambda x: x[1])
+            for band in bands:
+                r[f"first_peak_{band}"] = 1.0 if s[0][0] == band else 0.0
+            r["g_peaks_last"] = 1.0 if s[-1][0] == "g" else 0.0
+            r["peak_time_spread"] = s[-1][1] - s[0][1]
+        else:
+            for band in bands:
+                r[f"first_peak_{band}"] = np.nan
+            r["g_peaks_last"] = np.nan
+            r["peak_time_spread"] = np.nan
+        return r
+
+    rows = []
+    for oid in meta.object_ids:
+        r = oracle(lc[lc["object_id"] == oid])
+        r["object_id"] = oid
+        rows.append(r)
+    ref = pd.DataFrame(rows)
+    ours = peak_ordering.extract(packed)
+    assert_parity(ours, ref, meta)
+
+
+def test_peak_ordering_tie_breaks():
+    """Equal peak times across bands: first_peak goes to the lowest band
+    index, last (g_peaks_last) to the highest — the reference's stable
+    sort keeps equal keys in u..y order (script line 182)."""
+    from mallorn_tpu.data.packing import pack_lightcurves
+    from mallorn_tpu.features import peak_ordering
+
+    # one object: bands u, g, r each with 3 points peaking at t=10.0
+    times, fluxes, bands = [], [], []
+    for bi in (0, 1, 2):  # u, g, r
+        times += [0.0, 10.0, 20.0]
+        fluxes += [1.0, 5.0, 2.0]
+        bands += [bi] * 3
+    n = len(times)
+    packed = pack_lightcurves(np.zeros(n, np.int64), np.asarray(times),
+                              np.asarray(fluxes), np.ones(n),
+                              np.asarray(bands, np.int64), 1)
+    out = peak_ordering.extract(packed)
+    assert float(out["first_peak_u"][0]) == 1.0
+    assert float(out["first_peak_g"][0]) == 0.0
+    # last tied band is r (highest index) -> g does NOT peak last
+    assert float(out["g_peaks_last"][0]) == 0.0
+    assert float(out["peak_time_spread"][0]) == 0.0
+    assert float(out["g_to_r_peak_delay"][0]) == 0.0
