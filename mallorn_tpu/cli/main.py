@@ -7,7 +7,7 @@ declarative interface:
   mallorn extract  --data data/ --cache cache/          feature extraction
   mallorn train    --data data/ --cache cache/ --config v92d
   mallorn predict  --data data/ --cache cache/ --model artifacts/
-Configs: baseline | v16 | v19 | v34a | v42 | v55 | v56 | v60 | v92a..d |
+Configs: baseline | v16 | v19 | v34a | v42 | v55 | v56 | v58 | v60 | v92a..d |
 v104 | v110 | v111 | v115c | v118 | v119 (BASELINE.json's list plus
 the LGBM/CatBoost-family, external-data-combination and stacking runs).
 """
@@ -40,12 +40,12 @@ def cmd_synth(args):
 FAMILIES = ("features_v4", "tde_physics", "multiband_gp", "bazin",
             "research", "powerlaw", "tde_models", "time_to_decline",
             "fourier", "enhanced_colors", "high_snr", "cesium", "gp1d",
-            "peak_ordering")
+            "peak_ordering", "fwhm")
 
 
 def _extract_family(family, packed, meta, gp_steps):
     from mallorn_tpu.features import (bazin, cesium, enhanced_colors, fourier,
-                                      gp1d, high_snr, multiband_gp,
+                                      fwhm, gp1d, high_snr, multiband_gp,
                                       peak_ordering, powerlaw, research, tde,
                                       tde_models, time_to_decline)
     from mallorn_tpu.features.base import chunked_extract
@@ -68,6 +68,7 @@ def _extract_family(family, packed, meta, gp_steps):
         "cesium": (cesium.extract, ()),
         "gp1d": (gp1d.extract, ()),
         "peak_ordering": (peak_ordering.extract, ()),
+        "fwhm": (fwhm.extract, ()),
     }
     if family not in table:
         raise ValueError(f"unknown family {family}")
@@ -309,14 +310,16 @@ def cmd_train(args):
                       "n_external": len(y_ext),
                       "external_tdes": int(y_ext.sum())}
             test_preds, threshold = cv.test_preds, cv.best_threshold
-        elif args.config == "v56":
-            # peak-ordering augmentation of the v34a backbone
-            # (reference: scripts/train_v56_agn_peak_ordering.py:208-236)
-            p_tr, p_names = _load_matrices(args.cache, "train", ["peak_ordering"])
+        elif args.config in ("v56", "v58"):
+            # script-level feature augmentation of the v34a backbone
+            # (reference: scripts/train_v56_agn_peak_ordering.py:208-236,
+            #  scripts/train_v58_fwhm.py:190-214)
+            fam = {"v56": "peak_ordering", "v58": "fwhm"}[args.config]
+            p_tr, p_names = _load_matrices(args.cache, "train", [fam])
             Xtr2 = pipelines._finite_or_nan(np.concatenate([Xtr, p_tr], axis=1))
             Xte2 = None
             if object_ids_test is not None:
-                p_te, _ = _load_matrices(args.cache, "test", ["peak_ordering"])
+                p_te, _ = _load_matrices(args.cache, "test", [fam])
                 Xte2 = pipelines._finite_or_nan(np.concatenate([Xte, p_te], axis=1))
             cv = train_cv(Xtr2, y, Xte2, R(pipelines.V34A_PARAMS),
                           pad_features_to=pipelines.PAD_FEATURES, verbose=True)
@@ -402,7 +405,7 @@ def main(argv=None):
     pt.add_argument("--data", required=True)
     pt.add_argument("--cache", required=True)
     pt.add_argument("--config", default="v92d",
-                    choices=["baseline", "v16", "v19", "v34a", "v42", "v55", "v56",
+                    choices=["baseline", "v16", "v19", "v34a", "v42", "v55", "v56", "v58",
                              "v60", "v92", "v92a", "v92b", "v92c", "v92d",
                              "v104", "v110", "v111", "v115c", "v118", "v119"])
     pt.add_argument("--data-external", default=None,

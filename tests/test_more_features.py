@@ -207,3 +207,98 @@ def test_peak_ordering_tie_breaks():
     assert float(out["g_peaks_last"][0]) == 0.0
     assert float(out["peak_time_spread"][0]) == 0.0
     assert float(out["g_to_r_peak_delay"][0]) == 0.0
+
+
+def test_fwhm_parity(small_dataset):
+    """fwhm vs an inline NumPy oracle implementing the reference's
+    per-object algorithm verbatim
+    (reference: scripts/train_v58_fwhm.py:37-180)."""
+    import pandas as pd
+    from mallorn_tpu.features import fwhm as fwhm_mod
+    from mallorn_tpu.utils.constants import LSST_BANDS
+    from tests.oracles.frames import to_reference_frames
+
+    packed, meta, cols = small_dataset
+    lc, _ = to_reference_frames(cols, meta)
+
+    def oracle(sub):
+        bands = list(LSST_BANDS)
+        r = {}
+        band_fwhm, asyms = {}, []
+        for band in bands:
+            b = sub[sub["Filter"] == band].sort_values("Time (MJD)")
+            names = (f"{band}_rise_hwhm", f"{band}_fall_hwhm",
+                     f"{band}_fwhm", f"{band}_fwhm_asymmetry")
+            if len(b) < 5:
+                for n in names:
+                    r[n] = np.nan
+                asyms.append(np.nan)
+                continue
+            tt = b["Time (MJD)"].to_numpy()
+            ff = b["Flux"].to_numpy()
+            pi = int(np.argmax(ff))
+            pt, pf = tt[pi], ff[pi]
+            if pf <= 0:
+                for n in names:
+                    r[n] = np.nan
+                asyms.append(np.nan)
+                continue
+            half = pf / 2.0
+
+            def hwhm(ts, fs, rising):
+                if len(ts) < 2:
+                    return np.nan
+                above = fs >= half
+                if np.any(above) and np.any(~above):
+                    idx = (np.where(above)[0][0] if rising
+                           else np.where(~above)[0][0])
+                    if idx > 0:
+                        t1, t2 = ts[idx - 1], ts[idx]
+                        f1, f2 = fs[idx - 1], fs[idx]
+                        if f2 != f1:
+                            tc = t1 + (half - f1) * (t2 - t1) / (f2 - f1)
+                            return (pt - tc) if rising else (tc - pt)
+                    return np.nan
+                if np.all(above):
+                    return (pt - ts[0]) if rising else (ts[-1] - pt)
+                return np.nan
+
+            rise = hwhm(tt[: pi + 1], ff[: pi + 1], True)
+            fall = hwhm(tt[pi:], ff[pi:], False)
+            r[f"{band}_rise_hwhm"] = rise
+            r[f"{band}_fall_hwhm"] = fall
+            if not np.isnan(rise) and not np.isnan(fall):
+                r[f"{band}_fwhm"] = rise + fall
+                band_fwhm[band] = rise + fall
+            else:
+                r[f"{band}_fwhm"] = np.nan
+            if not np.isnan(rise) and not np.isnan(fall) and rise > 0:
+                r[f"{band}_fwhm_asymmetry"] = fall / rise
+                asyms.append(fall / rise)
+            else:
+                r[f"{band}_fwhm_asymmetry"] = np.nan
+                asyms.append(np.nan)
+
+        vals = list(band_fwhm.values())
+        r["fwhm_mean"] = np.mean(vals) if vals else np.nan
+        r["fwhm_std"] = np.std(vals) if vals else np.nan
+        r["fwhm_max"] = np.max(vals) if vals else np.nan
+        r["fwhm_min"] = np.min(vals) if vals else np.nan
+        r["fwhm_g_over_r"] = (band_fwhm["g"] / band_fwhm["r"]
+                              if "g" in band_fwhm and "r" in band_fwhm
+                              and band_fwhm["r"] > 0 else np.nan)
+        r["fwhm_r_over_i"] = (band_fwhm["r"] / band_fwhm["i"]
+                              if "r" in band_fwhm and "i" in band_fwhm
+                              and band_fwhm["i"] > 0 else np.nan)
+        va = [a for a in asyms if not np.isnan(a)]
+        r["fwhm_asymmetry_mean"] = np.mean(va) if va else np.nan
+        return r
+
+    rows = []
+    for oid in meta.object_ids:
+        r = oracle(lc[lc["object_id"] == oid])
+        r["object_id"] = oid
+        rows.append(r)
+    ref = pd.DataFrame(rows)
+    ours = fwhm_mod.extract(packed)
+    assert_parity(ours, ref, meta)
