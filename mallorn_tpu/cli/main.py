@@ -7,7 +7,7 @@ declarative interface:
   mallorn extract  --data data/ --cache cache/          feature extraction
   mallorn train    --data data/ --cache cache/ --config v92d
   mallorn predict  --data data/ --cache cache/ --model artifacts/
-Configs: baseline | v16 | v19 | v34a | v42 | v55 | v56 | v58 | v60 | v92a..d |
+Configs: baseline | v16 | v19 | v34a | v42 | v55 | v56 | v58 | v59b | v60 | v92a..d |
 v104 | v110 | v111 | v115c | v118 | v119 (BASELINE.json's list plus
 the LGBM/CatBoost-family, external-data-combination and stacking runs).
 """
@@ -40,14 +40,14 @@ def cmd_synth(args):
 FAMILIES = ("features_v4", "tde_physics", "multiband_gp", "bazin",
             "research", "powerlaw", "tde_models", "time_to_decline",
             "fourier", "enhanced_colors", "high_snr", "cesium", "gp1d",
-            "peak_ordering", "fwhm")
+            "peak_ordering", "fwhm", "temp_fwhm")
 
 
 def _extract_family(family, packed, meta, gp_steps):
     from mallorn_tpu.features import (bazin, cesium, enhanced_colors, fourier,
                                       fwhm, gp1d, high_snr, multiband_gp,
                                       peak_ordering, powerlaw, research, tde,
-                                      tde_models, time_to_decline)
+                                      tde_models, temp_fwhm, time_to_decline)
     from mallorn_tpu.features.base import chunked_extract
     from mallorn_tpu.train.pipelines import extract_features_v4
 
@@ -69,6 +69,7 @@ def _extract_family(family, packed, meta, gp_steps):
         "gp1d": (gp1d.extract, ()),
         "peak_ordering": (peak_ordering.extract, ()),
         "fwhm": (fwhm.extract, ()),
+        "temp_fwhm": (temp_fwhm.extract, ()),
     }
     if family not in table:
         raise ValueError(f"unknown family {family}")
@@ -310,11 +311,12 @@ def cmd_train(args):
                       "n_external": len(y_ext),
                       "external_tdes": int(y_ext.sum())}
             test_preds, threshold = cv.test_preds, cv.best_threshold
-        elif args.config in ("v56", "v58"):
+        elif args.config in ("v56", "v58", "v59b"):
             # script-level feature augmentation of the v34a backbone
             # (reference: scripts/train_v56_agn_peak_ordering.py:208-236,
-            #  scripts/train_v58_fwhm.py:190-214)
-            fam = {"v56": "peak_ordering", "v58": "fwhm"}[args.config]
+            #  scripts/train_v58_fwhm.py:190-214, train_v59b_temp_at_fwhm.py)
+            fam = {"v56": "peak_ordering", "v58": "fwhm",
+                   "v59b": "temp_fwhm"}[args.config]
             p_tr, p_names = _load_matrices(args.cache, "train", [fam])
             Xtr2 = pipelines._finite_or_nan(np.concatenate([Xtr, p_tr], axis=1))
             Xte2 = None
@@ -405,7 +407,7 @@ def main(argv=None):
     pt.add_argument("--data", required=True)
     pt.add_argument("--cache", required=True)
     pt.add_argument("--config", default="v92d",
-                    choices=["baseline", "v16", "v19", "v34a", "v42", "v55", "v56", "v58",
+                    choices=["baseline", "v16", "v19", "v34a", "v42", "v55", "v56", "v58", "v59b",
                              "v60", "v92", "v92a", "v92b", "v92c", "v92d",
                              "v104", "v110", "v111", "v115c", "v118", "v119"])
     pt.add_argument("--data-external", default=None,

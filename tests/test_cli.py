@@ -19,7 +19,8 @@ from mallorn_tpu.cli.main import main
 
 pytestmark = pytest.mark.slow
 
-ALL_CONFIGS = ["baseline", "v19", "v34a", "v42", "v55", "v56", "v58", "v60",
+ALL_CONFIGS = ["baseline", "v19", "v34a", "v42", "v55", "v56", "v58", "v59b",
+               "v60",
                "v92", "v92a", "v92b", "v92c", "v92d", "v104",
                "v110", "v111", "v115c", "v118", "v119"]
 
@@ -30,7 +31,7 @@ N_TEST = int(N_TRAIN * 2.33)  # cmd_synth's test-split sizing
 # the families the 17 train configs consume; the remaining extract-only
 # families are covered by their feature-module tests
 TRAIN_FAMILIES = ("features_v4,tde_physics,multiband_gp,bazin,"
-                  "research,powerlaw,peak_ordering,fwhm")
+                  "research,powerlaw,peak_ordering,fwhm,temp_fwhm")
 
 
 @pytest.fixture(scope="module")

@@ -302,3 +302,93 @@ def test_fwhm_parity(small_dataset):
     ref = pd.DataFrame(rows)
     ours = fwhm_mod.extract(packed)
     assert_parity(ours, ref, meta)
+
+
+def test_temp_fwhm_parity(small_dataset):
+    """temp_fwhm vs an inline NumPy oracle implementing the reference's
+    per-object algorithm verbatim
+    (reference: scripts/train_v59b_temp_at_fwhm.py:24-180)."""
+    import pandas as pd
+    from mallorn_tpu.features import temp_fwhm
+    from tests.oracles.frames import to_reference_frames
+
+    packed, meta, cols = small_dataset
+    lc, _ = to_reference_frames(cols, meta)
+    NAMES = ["temp_at_peak", "temp_at_rise_hm", "temp_at_fall_hm",
+             "temp_change_hm", "temp_ratio_fall_rise",
+             "temp_drop_peak_to_hm", "cooling_rate_to_hm"]
+
+    def temp_gr(gf, rf):
+        if np.isnan(gf) or np.isnan(rf) or gf <= 0 or rf <= 0:
+            return np.nan
+        g_r = -2.5 * np.log10(gf / rf)
+        if g_r < -0.5:
+            return 50000.0
+        if g_r > 2.0:
+            return 3000.0
+        return 7000.0 / (g_r + 0.6)
+
+    def flux_at(ts, fs, target, tol=10.0):
+        if np.isnan(target) or np.min(np.abs(ts - target)) > tol:
+            return np.nan
+        idx = np.searchsorted(ts, target)
+        if idx == 0:
+            return fs[0]
+        if idx >= len(ts):
+            return fs[-1]
+        t1, t2, f1, f2 = ts[idx - 1], ts[idx], fs[idx - 1], fs[idx]
+        if t2 == t1:
+            return f1
+        return f1 + (target - t1) / (t2 - t1) * (f2 - f1)
+
+    def oracle(sub):
+        r = {n: np.nan for n in NAMES}
+        g = sub[sub["Filter"] == "g"].sort_values("Time (MJD)")
+        rb = sub[sub["Filter"] == "r"].sort_values("Time (MJD)")
+        if len(g) < 5 or len(rb) < 5:
+            return r
+        gt, gf = g["Time (MJD)"].to_numpy(), g["Flux"].to_numpy()
+        rt, rf = rb["Time (MJD)"].to_numpy(), rb["Flux"].to_numpy()
+        pi = int(np.argmax(rf))
+        pt, pf = rt[pi], rf[pi]
+        if pf <= 0:
+            return r
+        half = pf / 2.0
+        rise_t = np.nan
+        for i in range(pi):
+            if rf[i] < half <= rf[i + 1]:
+                rise_t = rt[i] + (half - rf[i]) * (rt[i + 1] - rt[i]) \
+                    / (rf[i + 1] - rf[i])
+                break
+        fall_t = np.nan
+        for i in range(pi, len(rt) - 1):
+            if rf[i] >= half > rf[i + 1]:
+                fall_t = rt[i] + (half - rf[i]) * (rt[i + 1] - rt[i]) \
+                    / (rf[i + 1] - rf[i])
+                break
+
+        def temp_at(tt):
+            return temp_gr(flux_at(gt, gf, tt), flux_at(rt, rf, tt))
+
+        r["temp_at_peak"] = temp_at(pt)
+        r["temp_at_rise_hm"] = temp_at(rise_t)
+        r["temp_at_fall_hm"] = temp_at(fall_t)
+        tr_, tf_ = r["temp_at_rise_hm"], r["temp_at_fall_hm"]
+        if not np.isnan(tr_) and not np.isnan(tf_):
+            r["temp_change_hm"] = tf_ - tr_
+            r["temp_ratio_fall_rise"] = tf_ / tr_ if tr_ > 0 else np.nan
+        if not np.isnan(r["temp_at_peak"]) and not np.isnan(tf_):
+            r["temp_drop_peak_to_hm"] = r["temp_at_peak"] - tf_
+        if (not np.isnan(fall_t) and not np.isnan(r["temp_at_peak"])
+                and not np.isnan(tf_) and fall_t - pt > 0):
+            r["cooling_rate_to_hm"] = (r["temp_at_peak"] - tf_) / (fall_t - pt)
+        return r
+
+    rows = []
+    for oid in meta.object_ids:
+        r = oracle(lc[lc["object_id"] == oid])
+        r["object_id"] = oid
+        rows.append(r)
+    ref = pd.DataFrame(rows)
+    ours = temp_fwhm.extract(packed)
+    assert_parity(ours, ref, meta)
