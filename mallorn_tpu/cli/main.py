@@ -7,7 +7,7 @@ declarative interface:
   mallorn extract  --data data/ --cache cache/          feature extraction
   mallorn train    --data data/ --cache cache/ --config v92d
   mallorn predict  --data data/ --cache cache/ --model artifacts/
-Configs: baseline | v16 | v19 | v34a | v42 | v55 | v56 | v58 | v59b | v60 | v92a..d |
+Configs: baseline | v16 | v19 | v34a | v42 | v55 | v56 | v57 | v58 | v59b | v60 | v92a..d |
 v104 | v110 | v111 | v115c | v118 | v119 (BASELINE.json's list plus
 the LGBM/CatBoost-family, external-data-combination and stacking runs).
 """
@@ -311,6 +311,25 @@ def cmd_train(args):
                       "n_external": len(y_ext),
                       "external_tdes": int(y_ext.sum())}
             test_preds, threshold = cv.test_preds, cv.best_threshold
+        elif args.config == "v57":
+            # dereddened color twins appended to the v34a backbone
+            # (reference: scripts/train_v57_extinction_corrected.py:143-177)
+            from mallorn_tpu.features.extinction import dered_matrix
+
+            ebv_tr = log["EBV"].to_numpy()
+            d_tr, d_names = dered_matrix(Xtr, names, ebv_tr)
+            Xtr2 = pipelines._finite_or_nan(np.concatenate([Xtr, d_tr], axis=1))
+            Xte2 = None
+            if object_ids_test is not None:
+                ebv_te = load_metadata(Path(args.data), "test")["EBV"].to_numpy()
+                d_te, _ = dered_matrix(Xte, names, ebv_te)
+                Xte2 = pipelines._finite_or_nan(
+                    np.concatenate([Xte, d_te], axis=1))
+            cv = train_cv(Xtr2, y, Xte2, R(pipelines.V34A_PARAMS),
+                          pad_features_to=pipelines.PAD_FEATURES, verbose=True)
+            result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold,
+                      "n_features": Xtr2.shape[1], "n_dered": len(d_names)}
+            test_preds, threshold = cv.test_preds, cv.best_threshold
         elif args.config in ("v56", "v58", "v59b"):
             # script-level feature augmentation of the v34a backbone
             # (reference: scripts/train_v56_agn_peak_ordering.py:208-236,
@@ -407,7 +426,7 @@ def main(argv=None):
     pt.add_argument("--data", required=True)
     pt.add_argument("--cache", required=True)
     pt.add_argument("--config", default="v92d",
-                    choices=["baseline", "v16", "v19", "v34a", "v42", "v55", "v56", "v58", "v59b",
+                    choices=["baseline", "v16", "v19", "v34a", "v42", "v55", "v56", "v57", "v58", "v59b",
                              "v60", "v92", "v92a", "v92b", "v92c", "v92d",
                              "v104", "v110", "v111", "v115c", "v118", "v119"])
     pt.add_argument("--data-external", default=None,

@@ -392,3 +392,41 @@ def test_temp_fwhm_parity(small_dataset):
     ref = pd.DataFrame(rows)
     ours = temp_fwhm.extract(packed)
     assert_parity(ours, ref, meta)
+
+
+def test_dered_matrix_matches_reference_semantics():
+    """extinction.dered_matrix vs the reference's per-row transform
+    (reference: scripts/train_v57_extinction_corrected.py:69-177):
+    first-matching-pair wins, NaN/non-positive EBV -> zero correction,
+    NaN values propagate, linear fallback coefficients."""
+    from mallorn_tpu.features.extinction import (FALLBACK_COEFFS,
+                                                 dered_matrix)
+
+    names = ["g_r_peak", "r_i_post_10d", "u_g_mean", "i_z_x", "flux_std",
+             "g_r_dered_peak", "u_g_r_mix"]
+    X = np.array([[1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0],
+                  [np.nan, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0],
+                  [0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5]], np.float64)
+    ebv = np.array([0.1, np.nan, -0.2])
+
+    Xd, dn = dered_matrix(X, names, ebv)
+
+    def excess(e, b1, b2):
+        if not np.isfinite(e) or e <= 0:
+            return 0.0
+        return e * (FALLBACK_COEFFS[b1] - FALLBACK_COEFFS[b2])
+
+    # columns with a pair key and no _dered: all but flux_std and the
+    # already-dered one; "u_g_r_mix" matches g_r FIRST (pair order)
+    assert dn == ["g_r_dered_peak", "r_i_dered_post_10d", "u_g_dered_mean",
+                  "i_z_dered_x", "u_g_r_dered_mix"]
+    for k, (src_j, b1, b2) in enumerate(
+            [(0, "g", "r"), (1, "r", "i"), (2, "u", "g"), (3, "i", "z"),
+             (6, "g", "r")]):
+        for i in range(3):
+            want = X[i, src_j] - excess(ebv[i], b1, b2)
+            got = Xd[i, k]
+            if np.isnan(want):
+                assert np.isnan(got)
+            else:
+                np.testing.assert_allclose(got, want, rtol=1e-12)
