@@ -7,9 +7,10 @@ declarative interface:
   mallorn extract  --data data/ --cache cache/          feature extraction
   mallorn train    --data data/ --cache cache/ --config v92d
   mallorn predict  --data data/ --cache cache/ --model artifacts/
-Configs: baseline | v16 | v19 | v34a | v42 | v55 | v56 | v57 | v58 | v59b | v60 | v92a..d |
-v104 | v110 | v111 | v115c | v118 | v119 (BASELINE.json's list plus
-the LGBM/CatBoost-family, external-data-combination and stacking runs).
+Configs: baseline | v16 | v19 | v34a | v42 | v55 | v56 | v57 | v58 | v59b | v60 | v62 | v92a..d |
+v97 | v102a..c | v104 | v108 | v110 | v111 | v115c | v118 | v119
+(BASELINE.json's list plus the LGBM/CatBoost-family, multiclass,
+soft-label, external-data-combination and stacking runs).
 """
 
 from __future__ import annotations
@@ -359,6 +360,52 @@ def cmd_train(args):
             result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold,
                       "n_features": Xtr2.shape[1]}
             test_preds, threshold = cv.test_preds, cv.best_threshold
+        elif args.config == "v62":
+            # 4-class multi:softprob head -> class-probability features ->
+            # final binary classifier (reference:
+            # scripts/train_v62_multiclass_ensemble.py)
+            if "SpecType" not in log:
+                raise SystemExit("v62 needs SpecType in the train log")
+            out62 = pipelines.run_v62(
+                Xtr, y, log["SpecType"].to_numpy(), names, Xte,
+                mc_params=R(pipelines.V62_MC_PARAMS),
+                params=R(pipelines.V34A_PARAMS), verbose=True)
+            result = {"oof_f1": out62.oof_f1, "threshold": out62.threshold,
+                      "mc_tde_f1": out62.mc_tde_f1,
+                      "mc_classes": out62.mc_classes,
+                      "n_features": len(out62.feature_names)}
+            test_preds, threshold = out62.cv.test_preds, out62.threshold
+        elif args.config.startswith("v102"):
+            # label-smoothing regression (reference:
+            # train_v102_label_smoothing.py; a/b/c = eps .01/.05/.10)
+            eps = {"v102": 0.05, "v102a": 0.01, "v102b": 0.05,
+                   "v102c": 0.10}[args.config]
+            cv = pipelines.run_label_smoothing(
+                Xtr, y, Xte, epsilon=eps,
+                params=R(pipelines.SOFT_LABEL_PARAMS), verbose=True)
+            result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold,
+                      "epsilon": eps}
+            test_preds, threshold = cv.test_preds, cv.best_threshold
+        elif args.config == "v97":
+            # soft pseudo-labels from a v34a teacher (reference:
+            # train_v97_soft_pseudo.py, v97b shape: threshold .90)
+            base = train_cv(Xtr, y, Xte, R(pipelines.V34A_PARAMS))
+            cv = pipelines.run_soft_pseudo(
+                Xtr, y, Xte, base.test_preds,
+                params=R(pipelines.SOFT_LABEL_PARAMS), verbose=True)
+            result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold,
+                      "teacher_oof_f1": base.best_f1}
+            test_preds, threshold = cv.test_preds, cv.best_threshold
+        elif args.config == "v108":
+            # knowledge distillation from a v34a teacher (reference:
+            # train_v108_knowledge_distillation.py, v108a shape: T=1 a=.5)
+            teacher = train_cv(Xtr, y, Xte, R(pipelines.V34A_PARAMS))
+            cv = pipelines.run_distillation(
+                Xtr, y, teacher.oof_preds, Xte,
+                params=R(pipelines.SOFT_LABEL_PARAMS), verbose=True)
+            result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold,
+                      "teacher_oof_f1": teacher.best_f1}
+            test_preds, threshold = cv.test_preds, cv.best_threshold
         else:
             raise SystemExit(f"unknown config {args.config}")
 
@@ -427,8 +474,9 @@ def main(argv=None):
     pt.add_argument("--cache", required=True)
     pt.add_argument("--config", default="v92d",
                     choices=["baseline", "v16", "v19", "v34a", "v42", "v55", "v56", "v57", "v58", "v59b",
-                             "v60", "v92", "v92a", "v92b", "v92c", "v92d",
-                             "v104", "v110", "v111", "v115c", "v118", "v119"])
+                             "v60", "v62", "v92", "v92a", "v92b", "v92c", "v92d",
+                             "v97", "v102", "v102a", "v102b", "v102c",
+                             "v104", "v108", "v110", "v111", "v115c", "v118", "v119"])
     pt.add_argument("--data-external", default=None,
                     help="external labeled dataset dir (v16)")
     pt.add_argument("--cache-external", default=None,

@@ -40,6 +40,14 @@ def dered_matrix(X: np.ndarray, names: Sequence[str],
                  ebv: np.ndarray) -> Tuple[np.ndarray, List[str]]:
     """Appended ``_dered`` columns for every color-pair-named feature.
 
+    Substring matching is DELIBERATELY loose to mirror the reference
+    script's bug: ``'g_r' in name`` also hits non-color features whose
+    names merely contain the token (e.g. ``*_g_rise*`` -> a nonsense
+    ``..._g_r_deredise`` twin with an extinction offset subtracted from a
+    time feature). The reference v57 feature set includes those bogus
+    twins, so exact v57 parity requires reproducing them — do not tighten
+    to token-boundary matching without breaking the contract.
+
     Returns ([N, K] extra columns, their names); K may be 0."""
     X = np.asarray(X)
     cols, out_names = [], []

@@ -31,44 +31,40 @@ from mallorn_tpu.utils.constants import LSST_BANDS
 _BIG = 1.0e30
 
 
-def _value_at_min_t(t, f, sel):
-    """flux at the earliest-time selected point (NaN when none)."""
-    tmin = jnp.min(jnp.where(sel, t, _BIG))
-    at = sel & (t == tmin)
-    first = jnp.argmax(at)  # ties: any — fluxes at equal (t, sel) differ
-    return tmin, f[first], jnp.any(sel)
-
-
-def _value_at_max_t(t, f, sel):
-    tmax = jnp.max(jnp.where(sel, t, -_BIG))
-    at = sel & (t == tmax)
-    first = jnp.argmax(at)
-    return tmax, f[first], jnp.any(sel)
-
-
 def _interp_cross(t1, f1, t2, f2, half):
     t_cross = t1 + (half - f1) * (t2 - t1) / jnp.where(f2 == f1, 1.0, f2 - f1)
     return jnp.where(f2 == f1, jnp.nan, t_cross)
 
 
-def _hwhm_side(t, f, m, peak_t, half, rising: bool):
-    """One side's HWHM per the reference's crossing logic."""
-    side = m & ((t <= peak_t) if rising else (t >= peak_t))
+def _hwhm_side(t, f, m, peak_i, peak_t, half, rising: bool):
+    """One side's HWHM by INDEX adjacency on the time-sorted valid prefix.
+
+    The reference slices the rise/fall arrays by array position and takes
+    ``cross_idx - 1`` as the pre-crossing point (train_v58_fwhm.py:84-103);
+    packing keeps each band's valid points in a contiguous time-sorted
+    prefix, so index order here equals the reference's sorted order (up to
+    pandas' unstable quicksort on exactly-duplicate timestamps, where the
+    reference's own ordering is unspecified)."""
+    idx = jnp.arange(t.shape[0])
+    side = m & ((idx <= peak_i) if rising else (idx >= peak_i))
     n_side = jnp.sum(side)
     above = side & (f >= half)
     target = above if rising else (side & (f < half))
     n_above = jnp.sum(above)
 
-    # all points above half-max -> span to the side's extremum
-    t_first, _, _ = _value_at_min_t(t, f, side)
-    t_last, _, _ = _value_at_max_t(t, f, side)
-    all_above = (peak_t - t_first) if rising else (t_last - peak_t)
+    # all points above half-max -> span to the side's extremum (the band's
+    # first valid point / last valid point — the prefix is contiguous)
+    last_i = jnp.maximum(jnp.sum(m) - 1, 0)
+    all_above = (peak_t - t[0]) if rising else (t[last_i] - peak_t)
 
-    # crossing: earliest target point vs the latest point strictly before
-    tc, fc, has_target = _value_at_min_t(t, f, target)
-    prev_sel = side & (t < tc)
-    tp, fp, has_prev = _value_at_max_t(t, f, prev_sel)
-    t_cross = _interp_cross(tp, fp, tc, fc, half)
+    # crossing: first target index vs the ARRAY-ADJACENT previous point
+    # (reference: rise_fluxes[cross_idx - 1]; requires cross_idx > 0 within
+    # the side, i.e. a previous point exists on this side)
+    ci = jnp.argmax(target)  # first True (side is an index range)
+    has_target = jnp.any(target)
+    has_prev = ci > (0 if rising else peak_i)
+    pi = jnp.maximum(ci - 1, 0)
+    t_cross = _interp_cross(t[pi], f[pi], t[ci], f[ci], half)
     crossed = (peak_t - t_cross) if rising else (t_cross - peak_t)
     crossed = jnp.where(has_prev, crossed, jnp.nan)
 
@@ -84,15 +80,18 @@ def _kernel(v: ObjectView) -> FeatureSet:
 
     fmax = M.mmax(f, m)
     at_peak = m & (f == fmax[:, None])
-    peak_t = jnp.min(jnp.where(at_peak, t, _BIG), axis=-1)  # [6]
+    # first max-flux INDEX (= reference np.argmax after the time sort;
+    # the valid prefix is time-sorted so this is also first-in-time)
+    peak_i = jnp.argmax(at_peak, axis=-1)  # [6]
+    peak_t = jnp.take_along_axis(t, peak_i[:, None], axis=-1)[:, 0]  # [6]
     valid = ok & (fmax > 0)
     half = fmax / 2.0
 
     rise = jnp.stack([
-        _hwhm_side(t[b], f[b], m[b], peak_t[b], half[b], True)
+        _hwhm_side(t[b], f[b], m[b], peak_i[b], peak_t[b], half[b], True)
         for b in range(6)])
     fall = jnp.stack([
-        _hwhm_side(t[b], f[b], m[b], peak_t[b], half[b], False)
+        _hwhm_side(t[b], f[b], m[b], peak_i[b], peak_t[b], half[b], False)
         for b in range(6)])
     rise = jnp.where(valid, rise, jnp.nan)
     fall = jnp.where(valid, fall, jnp.nan)

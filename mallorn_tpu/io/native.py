@@ -47,10 +47,15 @@ def _load() -> Optional[ctypes.CDLL]:
             _build_failed = True
             return None
         try:
+            # temp-compile + atomic os.replace: a concurrent process must
+            # never CDLL a partially written .so
+            import os
+            tmp = _SO.with_suffix(f".tmp{os.getpid()}.so")
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                 str(_SRC), "-o", str(_SO)],
+                 str(_SRC), "-o", str(tmp)],
                 check=True, capture_output=True, timeout=120)
+            os.replace(tmp, _SO)
         except Exception:
             _build_failed = True
             return None

@@ -72,6 +72,75 @@ class CVResult:
         }
 
 
+def train_cv_multiclass(
+    X_train: np.ndarray,
+    y_class: np.ndarray,
+    X_test: Optional[np.ndarray] = None,
+    params: GBDTParams = GBDTParams(),
+    n_folds: int = 5,
+    early_stopping_rounds: int = 50,
+    seed: int = 42,
+    verbose: bool = False,
+) -> Tuple[np.ndarray, Optional[np.ndarray], List[GBDTModel]]:
+    """K-class multi:softprob CV: OOF class probabilities + fold-averaged
+    test probabilities (reference: scripts/train_v62_multiclass_ensemble.py
+    :176-227 — 5-fold StratifiedKFold on the encoded class labels, per-fold
+    early stopping on mlogloss, ``model.predict`` = softmax probabilities).
+
+    ``params.num_class`` must be >= 2; labels are int class ids 0..K-1.
+    Returns (oof_probs [N, K], test_probs [N, K] or None, models)."""
+    if params.num_class < 2:
+        raise ValueError("params.num_class must be >= 2")
+    y_class = np.asarray(y_class)
+    K = params.num_class
+    skf = StratifiedKFold(n_splits=n_folds, shuffle=True, random_state=seed)
+    splits = list(skf.split(X_train, y_class))
+    pad_train = max(len(tr) for tr, _ in splits)
+    pad_val = max(len(va) for _, va in splits)
+
+    X_parent = np.asarray(X_train, np.float32)
+    folds = []
+    for tr, va in splits:
+        folds.append({
+            "X": X_parent[tr], "y": y_class[tr].astype(np.float32),
+            "w": None,
+            "X_val": X_parent[va], "y_val": y_class[va].astype(np.float32),
+            "spw": 1.0, "seed": params.seed,
+            "X_parent": X_parent, "tr_idx": tr, "va_idx": va,
+        })
+    models = train_gbdt_folds(
+        folds, params, early_stopping_rounds=early_stopping_rounds,
+        pad_rows_to=pad_train, pad_val_rows_to=pad_val)
+
+    def _softmax(m):  # [..., K] on the last axis
+        z = m - m.max(axis=-1, keepdims=True)
+        e = np.exp(z)
+        return e / e.sum(axis=-1, keepdims=True)
+
+    oof = np.zeros((len(y_class), K), np.float64)
+    if all(m.val_margin is not None for m in models):
+        for model, (_, va) in zip(models, splits):
+            oof[va] = _softmax(np.asarray(model.val_margin).T[: len(va)])
+    else:
+        from mallorn_tpu.trees.gbdt import predict_margin_folds
+
+        vm = predict_margin_folds(models, [X_parent[va] for _, va in splits])
+        for fi, (_, va) in enumerate(splits):
+            oof[va] = _softmax(vm[fi][: len(va)])
+
+    test_probs = None
+    if X_test is not None:
+        from mallorn_tpu.trees.gbdt import predict_margin_folds
+
+        tm = predict_margin_folds(models, np.asarray(X_test, np.float32))
+        test_probs = _softmax(tm).mean(axis=0)  # [N_test, K]
+    if verbose:
+        acc = float((oof.argmax(-1) == y_class).mean())
+        print(f"   [mc] OOF accuracy={acc:.4f} "
+              f"best_iters={[m.best_iteration for m in models]}", flush=True)
+    return oof, test_probs, models
+
+
 def train_cv(
     X_train: np.ndarray,
     y: np.ndarray,
@@ -89,6 +158,7 @@ def train_cv(
     batched_folds: bool = True,
     mesh=None,
     extra_train: Optional[Tuple] = None,
+    y_train_soft: Optional[np.ndarray] = None,
     verbose: bool = False,
 ) -> CVResult:
     """Stratified K-fold GBDT training with OOF + averaged test predictions.
@@ -111,8 +181,16 @@ def train_cv(
     recipe: train on combined, validate on the competition distribution;
     reference scripts/prepare_plasticc_data.py +
     train_v16_plasticc_combined.py:160-190).
+
+    ``y_train_soft``: float training/eval-metric targets (label smoothing
+    v102, distillation v108 — reference
+    train_v102_label_smoothing.py:113-137: the model trains and
+    early-stops on the SMOOTHED labels while fold stratification, OOF F1
+    and the threshold sweep stay on the hard ``y``).
     """
     y = np.asarray(y)
+    y_soft = (np.asarray(y_train_soft, np.float32)
+              if y_train_soft is not None else None)
     skf = StratifiedKFold(n_splits=n_folds, shuffle=True, random_state=seed)
 
     X_ext = y_ext = w_ext = None
@@ -136,15 +214,21 @@ def train_cv(
     pad_val = max(len(va) for _, va in splits)
 
     def fold_rows(tr):
-        """Primary fold-train rows (+ the full external set, v16)."""
-        Xf, yf = X_train[tr], y[tr]
+        """Primary fold-train rows (+ the full external set, v16).
+
+        Returns (X, y_train, y_hard, w): ``y_train`` is what the objective
+        sees (soft when y_train_soft is given), ``y_hard`` feeds
+        scale_pos_weight only."""
+        Xf, yh = X_train[tr], y[tr]
+        yf = y_soft[tr] if y_soft is not None else yh
         wf = sample_weight[tr] if sample_weight is not None else None
         if X_ext is not None:
             Xf = np.vstack([np.asarray(Xf, np.float32), X_ext])
             yf = np.concatenate([yf, y_ext])
+            yh = np.concatenate([yh, y_ext])
             wf = np.concatenate(
                 [np.ones(len(tr), np.float32) if wf is None else wf, w_ext])
-        return Xf, yf, wf
+        return Xf, yf, yh, wf
 
     def fold_spw(yf):
         return float((yf == 0).sum() / max((yf == 1).sum(), 1)) \
@@ -158,13 +242,16 @@ def train_cv(
             X_parent = np.vstack([X_parent, X_ext])
         folds = []
         for tr, va in splits:
-            Xf, yf, wf = fold_rows(tr)
+            Xf, yf, yh, wf = fold_rows(tr)
             tr_idx = (tr if X_ext is None
                       else np.concatenate([tr, len(y) + np.arange(n_ext)]))
             folds.append({
                 "X": Xf, "y": yf, "w": wf,
-                "X_val": X_train[va], "y_val": y[va],
-                "spw": fold_spw(yf), "seed": params.seed,
+                "X_val": X_train[va],
+                # the early-stop metric sees the soft val labels too
+                # (reference eval_set=[(X_val, y_smooth[val_idx])])
+                "y_val": y_soft[va] if y_soft is not None else y[va],
+                "spw": fold_spw(yh), "seed": params.seed,
                 "X_parent": X_parent, "tr_idx": tr_idx, "va_idx": va,
             })
         if mesh is not None:
@@ -220,13 +307,14 @@ def train_cv(
         if batched_folds:
             model = models[fold]
         else:
-            Xf, yf, w = fold_rows(tr)
+            Xf, yf, yh, w = fold_rows(tr)
             model = train_gbdt(
                 Xf, yf, params,
                 sample_weight=w,
-                scale_pos_weight=fold_spw(yf),
+                scale_pos_weight=fold_spw(yh),
                 objective=objective,
-                X_val=X_train[va], y_val=y[va],
+                X_val=X_train[va],
+                y_val=y_soft[va] if y_soft is not None else y[va],
                 early_stopping_rounds=early_stopping_rounds,
                 pad_rows_to=pad_train, pad_val_rows_to=pad_val,
                 pad_features_to=pad_features_to,

@@ -488,6 +488,228 @@ def run_seed_ensemble(
     return np.mean(oofs, axis=0), test_mean, f1s
 
 
+# v62 multiclass config (reference:
+# scripts/train_v62_multiclass_ensemble.py:171-186): multi:softprob,
+# depth 5, lr 0.03, mcw 3, alpha 0.3, lambda 1.5, 400 rounds, ES 50.
+V62_MC_PARAMS = GBDTParams(
+    n_rounds=400, max_depth=5, learning_rate=0.03,
+    subsample=0.8, colsample_bytree=0.8,
+    min_child_weight=3.0, reg_alpha=0.3, reg_lambda=1.5,
+    eval_metric="mlogloss",
+)
+
+# soft-label regression config shared by v102/v97/v108 (reference:
+# train_v102_label_smoothing.py:134-146, train_v108:213-223 —
+# reg:squarederror, depth 6, lr 0.02, alpha 0.1, lambda 1.0; the
+# reference's 1500 estimators early-stop far sooner at lr 0.02).
+SOFT_LABEL_PARAMS = GBDTParams(
+    n_rounds=600, max_depth=6, learning_rate=0.02,
+    subsample=0.8, colsample_bytree=0.8,
+    min_child_weight=1.0, reg_alpha=0.1, reg_lambda=1.0,
+    base_score=0.5, eval_metric="rmse",
+)
+
+
+def simplify_spectype(spec_type: np.ndarray) -> np.ndarray:
+    """7 SpecType classes -> 4 (reference: train_v62:74-85): TDE, AGN,
+    SN_Ia (thermonuclear), SN_CC (II/IIn/Ibc/SLSN core-collapse bucket)."""
+    st = np.asarray(spec_type).astype(str)
+    out = np.full(len(st), "SN_CC", dtype=object)
+    out[st == "TDE"] = "TDE"
+    out[st == "AGN"] = "AGN"
+    out[st == "SN Ia"] = "SN_Ia"
+    return out.astype(str)
+
+
+@dataclasses.dataclass
+class V62Result:
+    cv: CVResult  # final binary classifier on the enhanced features
+    mc_oof: np.ndarray  # [N, K] multiclass OOF probabilities
+    mc_test: Optional[np.ndarray]
+    mc_classes: List[str]
+    mc_tde_f1: float  # TDE detection F1 from the multiclass head alone
+    feature_names: List[str]
+    oof_f1: float
+    threshold: float
+
+
+def run_v62(
+    X_train: np.ndarray,
+    y_binary: np.ndarray,
+    spec_type: np.ndarray,
+    feature_names: Sequence[str],
+    X_test: Optional[np.ndarray] = None,
+    mc_params: GBDTParams = V62_MC_PARAMS,
+    params: GBDTParams = V34A_PARAMS,
+    verbose: bool = False,
+) -> V62Result:
+    """v62: 4-class multi:softprob model over simplified SpecType, class
+    probabilities appended as features to a final binary classifier
+    (reference: scripts/train_v62_multiclass_ensemble.py).
+
+    Adds the reference's 6 multiclass features (:245-268): P(TDE), P(AGN),
+    P(SN_Ia), P(SN_CC), TDE/AGN and TDE/SN_Ia probability ratios."""
+    from mallorn_tpu.train.cv import train_cv_multiclass
+
+    y_mc_names = simplify_spectype(spec_type)
+    classes = sorted(set(y_mc_names))  # LabelEncoder order (sorted)
+    cls_idx = {c: i for i, c in enumerate(classes)}
+    y_mc = np.asarray([cls_idx[c] for c in y_mc_names], np.int32)
+
+    Xtr = _finite_or_nan(np.asarray(X_train, np.float32))
+    Xte = (_finite_or_nan(np.asarray(X_test, np.float32))
+           if X_test is not None else None)
+
+    mc_oof, mc_test, _ = train_cv_multiclass(
+        Xtr, y_mc, Xte, mc_params._replace(num_class=len(classes)),
+        verbose=verbose)
+
+    ti, ai, si = cls_idx["TDE"], cls_idx["AGN"], cls_idx["SN_Ia"]
+    ci = cls_idx["SN_CC"]
+
+    def mc_cols(P):
+        return np.column_stack([
+            P[:, ti], P[:, ai], P[:, si], P[:, ci],
+            P[:, ti] / (P[:, ai] + 0.001),
+            P[:, ti] / (P[:, si] + 0.001),
+        ]).astype(np.float32)
+
+    # the multiclass head's own TDE detection quality (reference :224-233,
+    # threshold grid 0.01..0.5)
+    mc_f1, _ = threshold_sweep(y_binary, mc_oof[:, ti],
+                               np.linspace(0.01, 0.5, 100))
+
+    mc_names = ["mc_prob_tde", "mc_prob_agn", "mc_prob_sn_ia",
+                "mc_prob_sn_cc", "mc_ratio_tde_agn", "mc_ratio_tde_sn_ia"]
+    X_enh = np.column_stack([Xtr, mc_cols(mc_oof)])
+    X_enh_te = (np.column_stack([Xte, mc_cols(mc_test)])
+                if Xte is not None else None)
+    names = list(feature_names) + mc_names
+
+    cv = train_cv(X_enh, y_binary, X_enh_te, params,
+                  use_scale_pos_weight=True, verbose=verbose)
+    return V62Result(cv=cv, mc_oof=mc_oof, mc_test=mc_test,
+                     mc_classes=classes, mc_tde_f1=mc_f1,
+                     feature_names=names, oof_f1=cv.best_f1,
+                     threshold=cv.best_threshold)
+
+
+# v102 epsilon variants (reference: train_v102_label_smoothing.py:152-156)
+V102_EPSILONS = {"v102a_eps01": 0.01, "v102b_eps05": 0.05,
+                 "v102c_eps10": 0.10}
+
+
+def run_label_smoothing(
+    X_train: np.ndarray, y: np.ndarray,
+    X_test: Optional[np.ndarray] = None,
+    epsilon: float = 0.05,
+    params: GBDTParams = SOFT_LABEL_PARAMS,
+    sample_weight: Optional[np.ndarray] = None,
+    verbose: bool = False,
+) -> CVResult:
+    """v102: regression on smoothed labels 0 -> eps, 1 -> 1-eps
+    (reference: train_v102_label_smoothing.py:113-114), adversarial
+    sample weights, hard-label OOF F1. Predictions are raw regression
+    outputs (no sigmoid)."""
+    y = np.asarray(y)
+    y_smooth = np.where(y == 1, 1.0 - epsilon, epsilon).astype(np.float32)
+    return train_cv(X_train, y, X_test, params,
+                    sample_weight=sample_weight,
+                    use_scale_pos_weight=False,
+                    objective=objectives.squarederror,
+                    sigmoid_outputs=False,
+                    y_train_soft=y_smooth,
+                    pad_features_to=PAD_FEATURES, verbose=verbose)
+
+
+def run_soft_pseudo(
+    X_train: np.ndarray, y: np.ndarray, X_test: np.ndarray,
+    test_preds: np.ndarray,
+    threshold: float = 0.90,
+    soft_tde: float = 0.90,
+    soft_non_tde: float = 0.10,
+    use_actual_probs: bool = False,
+    match_class_ratio: bool = True,
+    params: GBDTParams = SOFT_LABEL_PARAMS,
+    sample_weight: Optional[np.ndarray] = None,
+    seed: int = 42,
+    verbose: bool = False,
+) -> CVResult:
+    """v97: SOFT pseudo-labels — confident test objects join training with
+    soft regression targets instead of hard 0/1 (reference:
+    train_v97_soft_pseudo.py:139-230: variants a-c use fixed soft values
+    at thresholds .95/.90/.85; v97d uses the teacher's actual
+    probabilities; non-TDE pseudo rows are subsampled to preserve the
+    original class ratio). Trains reg:squarederror on hard train labels +
+    soft pseudo rows via ``extra_train``."""
+    y = np.asarray(y).astype(np.float32)
+    test_preds = np.asarray(test_preds)
+    rng = np.random.default_rng(seed)
+
+    tde_mask = test_preds > threshold
+    non_tde_mask = test_preds < (1.0 - threshold)
+    tde_idx = np.nonzero(tde_mask)[0]
+    non_idx = np.nonzero(non_tde_mask)[0]
+    if match_class_ratio and len(tde_idx) > 0:
+        ratio = float((y == 0).sum()) / max(float((y == 1).sum()), 1.0)
+        n_non = min(int(len(tde_idx) * ratio), len(non_idx))
+        if n_non < len(non_idx):
+            non_idx = np.sort(rng.choice(non_idx, size=n_non, replace=False))
+
+    keep = np.concatenate([tde_idx, non_idx]).astype(int)
+    if use_actual_probs:
+        y_pseudo = test_preds[keep].astype(np.float32)
+    else:
+        y_pseudo = np.where(test_preds[keep] > 0.5,
+                            soft_tde, soft_non_tde).astype(np.float32)
+    if verbose:
+        print(f"   soft pseudo: +{len(tde_idx)} TDE, +{len(non_idx)} non-TDE",
+              flush=True)
+    extra = ((np.asarray(X_test, np.float32)[keep], y_pseudo, None)
+             if len(keep) else None)
+    return train_cv(X_train, y, X_test, params,
+                    sample_weight=sample_weight,
+                    use_scale_pos_weight=False,
+                    objective=objectives.squarederror,
+                    sigmoid_outputs=False,
+                    extra_train=extra,
+                    pad_features_to=PAD_FEATURES, verbose=verbose)
+
+
+def temperature_scale(probs: np.ndarray, temperature: float) -> np.ndarray:
+    """p -> sigmoid(logit(p)/T) (reference:
+    train_v108_knowledge_distillation.py:150-163)."""
+    p = np.clip(np.asarray(probs, np.float64), 1e-7, 1.0 - 1e-7)
+    logits = np.log(p / (1.0 - p))
+    return 1.0 / (1.0 + np.exp(-logits / temperature))
+
+
+def run_distillation(
+    X_train: np.ndarray, y: np.ndarray,
+    teacher_oof: np.ndarray,
+    X_test: Optional[np.ndarray] = None,
+    alpha: float = 0.5,
+    temperature: float = 1.0,
+    params: GBDTParams = SOFT_LABEL_PARAMS,
+    sample_weight: Optional[np.ndarray] = None,
+    verbose: bool = False,
+) -> CVResult:
+    """v108: knowledge distillation — the student regresses on blended
+    targets alpha*hard + (1-alpha)*temperature_scale(teacher) (reference:
+    train_v108_knowledge_distillation.py:166-180, 227-241; teachers are
+    the v92d/v104 OOF prediction vectors)."""
+    y = np.asarray(y).astype(np.float32)
+    targets = (alpha * y + (1.0 - alpha)
+               * temperature_scale(teacher_oof, temperature)).astype(np.float32)
+    return train_cv(X_train, y, X_test, params,
+                    sample_weight=sample_weight,
+                    use_scale_pos_weight=False,
+                    objective=objectives.squarederror,
+                    sigmoid_outputs=False,
+                    y_train_soft=targets,
+                    pad_features_to=PAD_FEATURES, verbose=verbose)
+
+
 def run_pseudo_label(
     X_train: np.ndarray, y: np.ndarray, X_test: np.ndarray,
     test_preds: np.ndarray,

@@ -262,10 +262,16 @@ def _load_bin_lib():
             _bin_build_failed = True
             return None
         try:
+            # compile to a temp path and os.replace() into place (atomic on
+            # POSIX) so a concurrent process never CDLLs a partially written
+            # .so — same pattern as the .aotx writes in utils/aot_cache.py
+            import os
+            tmp = so.with_suffix(f".tmp{os.getpid()}.so")
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                 str(src), "-o", str(so), "-pthread"],
+                 str(src), "-o", str(tmp), "-pthread"],
                 check=True, capture_output=True, timeout=120)
+            os.replace(tmp, so)
         except Exception:
             _bin_build_failed = True
             return None

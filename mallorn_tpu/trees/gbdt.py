@@ -91,6 +91,21 @@ class GBDTParams(NamedTuple):
     # node-summed gain — the tree is a 2^depth-leaf decision table.
     grow_policy: str = "depthwise"
     max_leaves: int = 31
+    # margin-space prediction bias (XGBoost base_score). 0 matches
+    # binary:logistic's default (logit(0.5)); the reg:squarederror
+    # soft-label configs use 0.5 (XGBoost's raw default, untransformed
+    # for regression).
+    base_score: float = 0.0
+    # validation metric for eval_history / early stopping: "logloss"
+    # (binary), "rmse" (regression objectives), or "mlogloss"
+    # (forced when num_class >= 2).
+    eval_metric: str = "logloss"
+    # K-class multi:softprob training (reference v62,
+    # scripts/train_v62_multiclass_ensemble.py:176-177): labels are class
+    # ids 0..K-1; each round builds K trees on softmax grad/hess
+    # (grad = p_k - 1{y=k}, hess = max(2 p_k (1-p_k), 1e-16) — XGBoost's
+    # SoftmaxMultiClassObj). 0 = binary.
+    num_class: int = 0
     # histogram subtraction (LightGBM's parent-minus-sibling trick): at
     # level d >= 1 only LEFT children's histograms are built by the
     # kernel (half the matmul columns); each right child is the parent's
@@ -657,6 +672,10 @@ def train_gbdt(
     shape."""
     if objective is None:
         objective = objectives.logistic
+    if params.num_class >= 2 and (params.grow_policy != "depthwise"
+                                  or params.dart_rate > 0.0):
+        raise ValueError("num_class >= 2 requires depthwise growth "
+                         "without DART (XGBoost multi:softprob semantics)")
 
     # pad the feature axis with all-NaN (inert) columns so configs with
     # different feature counts share one compiled boosting graph; inert
@@ -747,7 +766,7 @@ def train_gbdt(
                     stop = i
                     break
             best_it = best_i
-            mv = np.asarray(best_mv)[:n_val]
+            mv = np.asarray(best_mv)[..., :n_val]  # [K, nv] when multiclass
             if np.isfinite(mv).all():
                 val_margin = mv
         else:
@@ -790,9 +809,80 @@ def _fit_impl(binned, y, w, row_ids, binned_val, yv, vmask, keys,
         else:
             bl_bhot, bl_hib = hist_pallas.precompute_binlane(binned_T)
 
+    n_class = int(params.num_class)
+    multiclass = n_class >= 2
+
+    def _col_mask(k_col):
+        if params.colsample_bytree < 1.0:
+            perm = jax.random.permutation(k_col, n_f)
+            return jnp.zeros(n_f, bool).at[perm[:k_cols]].set(True)
+        return jnp.ones(n_f, bool)
+
+    def _binlane_for(grad, hess):
+        if not use_binlane:
+            return None
+        if params.hist_dtype == "int8":
+            return ("int8", bl_bhot, bl_hib,
+                    hist_pallas.quantize_gh_i8(grad, hess), bl_rc)
+        # "bf16" / "i8bf16" share the bf16-digit kernel
+        return ("bf16", bl_bhot, bl_hib,
+                hist_pallas.split_gh_digits(grad, hess), bl_rc)
+
+    def _val_metric(margin_val):
+        """Masked, mesh-global validation metric (params.eval_metric)."""
+        eps = 1e-16
+        den = _psum(jnp.sum(vmask.astype(jnp.float32)), axis_name)
+        if multiclass:
+            # mlogloss: -log softmax(margin)[y]
+            logp = jax.nn.log_softmax(margin_val, axis=0)  # [K, Nv]
+            yk = yv.astype(jnp.int32)[None, :] == jnp.arange(n_class)[:, None]
+            ll = -jnp.sum(jnp.where(yk, logp, 0.0), axis=0)
+            return _psum(jnp.sum(jnp.where(vmask, ll, 0.0)), axis_name) / den
+        if params.eval_metric == "rmse":
+            se = jnp.where(vmask, (margin_val - yv) ** 2, 0.0)
+            return jnp.sqrt(_psum(jnp.sum(se), axis_name) / den)
+        p = jax.nn.sigmoid(margin_val)
+        ll = -(yv * jnp.log(jnp.clip(p, eps, 1.0))
+               + (1 - yv) * jnp.log(jnp.clip(1 - p, eps, 1.0)))
+        return _psum(jnp.sum(jnp.where(vmask, ll, 0.0)), axis_name) / den
+
     def round_step(carry, rkey):
         margin, margin_val = carry
         k_sub, k_col = jax.random.split(rkey)
+
+        if multiclass:
+            # XGBoost SoftmaxMultiClassObj: shared row subsample per
+            # iteration, fresh column sample per class tree
+            p = jax.nn.softmax(margin, axis=0)  # [K, N]
+            yk = (y.astype(jnp.int32)[None, :]
+                  == jnp.arange(n_class)[:, None]).astype(jnp.float32)
+            grad_all = w[None, :] * (p - yk)
+            hess_all = w[None, :] * jnp.maximum(2.0 * p * (1.0 - p), 1e-16)
+            if params.subsample < 1.0:
+                m = _row_subsample_mask(k_sub, row_ids, params.subsample)
+                grad_all = jnp.where(m[None, :], grad_all, 0.0)
+                hess_all = jnp.where(m[None, :], hess_all, 0.0)
+            kcols = jax.random.split(k_col, n_class)
+
+            class_trees, class_gains, mv_add = [], [], 0.0
+            for k in range(n_class):  # static unroll: K trees per round
+                tree_k, gains_k, node_k = _train_tree(
+                    binned_T, binned, grad_all[k], hess_all[k],
+                    _col_mask(kcols[k]), params, axis_name,
+                    symmetric=symmetric,
+                    binlane=_binlane_for(grad_all[k], hess_all[k]))
+                margin = margin.at[k].add(tree_k[4][node_k])
+                class_trees.append(tree_k)
+                class_gains.append(gains_k)
+                if has_val:
+                    mv_add = _predict_tree(tree_k, binned_val, missing_id,
+                                           depth + 1)
+                    margin_val = margin_val.at[k].add(mv_add)
+            tree = tuple(jnp.stack([ct[i] for ct in class_trees])
+                         for i in range(5))  # each [K, ...]
+            gains = sum(class_gains)
+            metric = _val_metric(margin_val) if has_val else jnp.nan
+            return (margin, margin_val), (tree, gains, metric)
 
         grad, hess = objective(margin, y, w)
         if params.subsample < 1.0:
@@ -800,20 +890,8 @@ def _fit_impl(binned, y, w, row_ids, binned_val, yv, vmask, keys,
             grad = jnp.where(m, grad, 0.0)
             hess = jnp.where(m, hess, 0.0)
 
-        if params.colsample_bytree < 1.0:
-            perm = jax.random.permutation(k_col, n_f)
-            col_mask = jnp.zeros(n_f, bool).at[perm[:k_cols]].set(True)
-        else:
-            col_mask = jnp.ones(n_f, bool)
-
-        binlane = None
-        if use_binlane:
-            if params.hist_dtype == "int8":
-                binlane = ("int8", bl_bhot, bl_hib,
-                           hist_pallas.quantize_gh_i8(grad, hess), bl_rc)
-            else:  # "bf16" / "i8bf16" share the bf16-digit kernel
-                binlane = ("bf16", bl_bhot, bl_hib,
-                           hist_pallas.split_gh_digits(grad, hess), bl_rc)
+        col_mask = _col_mask(k_col)
+        binlane = _binlane_for(grad, hess)
 
         if lossguide:
             tree, gains, node_assign = _train_tree_lossguide(
@@ -832,15 +910,7 @@ def _fit_impl(binned, y, w, row_ids, binned_val, yv, vmask, keys,
                     tree, binned_val, missing_id, lg_steps)
             else:
                 margin_val = margin_val + _predict_tree(tree, binned_val, missing_id, depth + 1)
-            # weighted global logloss under a mesh
-            p = jax.nn.sigmoid(margin_val)
-            eps = 1e-16
-            ll = -(yv * jnp.log(jnp.clip(p, eps, 1.0))
-                   + (1 - yv) * jnp.log(jnp.clip(1 - p, eps, 1.0)))
-            ll = jnp.where(vmask, ll, 0.0)
-            num = _psum(jnp.sum(ll), axis_name)
-            den = _psum(jnp.sum(vmask.astype(jnp.float32)), axis_name)
-            metric = num / den
+            metric = _val_metric(margin_val)
         else:
             metric = jnp.nan
 
@@ -866,6 +936,14 @@ def _fit_impl(binned, y, w, row_ids, binned_val, yv, vmask, keys,
                      jnp.zeros((R, M), bool), jnp.ones((R, M), bool),
                      jnp.zeros((R, M), jnp.int32), jnp.zeros((R, M), jnp.int32),
                      jnp.zeros((R, M), jnp.float32))
+        elif multiclass:
+            n_int = 2 ** depth - 1
+            n_heap = 2 ** (depth + 1) - 1
+            bufs0 = (jnp.zeros((R, n_class, n_int), jnp.int32),
+                     jnp.full((R, n_class, n_int), -1, jnp.int32),
+                     jnp.zeros((R, n_class, n_int), bool),
+                     jnp.zeros((R, n_class, n_int), bool),
+                     jnp.zeros((R, n_class, n_heap), jnp.float32))
         else:
             n_int = 2 ** depth - 1
             n_heap = 2 ** (depth + 1) - 1
@@ -901,26 +979,34 @@ def _fit_impl(binned, y, w, row_ids, binned_val, yv, vmask, keys,
             return (i + 1, margin, margin_val, best_m, best_i, bufs,
                     gain_sum + gains, metrics, best_mv, stopped)
 
-        state0 = (jnp.asarray(0), jnp.zeros(n, jnp.float32),
-                  jnp.zeros(binned_val.shape[0], jnp.float32),
+        nv = binned_val.shape[0]
+        m0 = (jnp.full((n_class, n), params.base_score, jnp.float32)
+              if multiclass else jnp.full(n, params.base_score, jnp.float32))
+        mv0 = (jnp.full((n_class, nv), params.base_score, jnp.float32)
+               if multiclass else jnp.full(nv, params.base_score, jnp.float32))
+        state0 = (jnp.asarray(0), m0, mv0,
                   jnp.asarray(jnp.inf, jnp.float32), jnp.asarray(0),
                   bufs0, jnp.zeros(n_f, jnp.float32),
                   jnp.full(R, jnp.inf, jnp.float32),
-                  jnp.zeros(binned_val.shape[0], jnp.float32),
+                  jnp.zeros_like(mv0),
                   jnp.asarray(False))
         (*_, bufs, gain_sum, metrics, best_mv, _stopped) = jax.lax.while_loop(
             cond, body, state0)
         forest = LGForest(*bufs) if lossguide else Forest(*bufs)
         return forest, gain_sum, metrics, best_mv
 
-    init = (jnp.zeros(n, jnp.float32), jnp.zeros(binned_val.shape[0], jnp.float32))
-    _, (trees, gains, metrics) = jax.lax.scan(round_step, init, keys)
+    nv = binned_val.shape[0]
+    m0 = (jnp.full((n_class, n), params.base_score, jnp.float32)
+          if multiclass else jnp.full(n, params.base_score, jnp.float32))
+    mv0 = (jnp.full((n_class, nv), params.base_score, jnp.float32)
+           if multiclass else jnp.full(nv, params.base_score, jnp.float32))
+    _, (trees, gains, metrics) = jax.lax.scan(round_step, (m0, mv0), keys)
 
     forest = LGForest(*trees) if lossguide else Forest(*trees)
     # no early stopping: best-iteration selection happens post-hoc on
     # host; callers fall back to an explicit predict for val margins
     return (forest, jnp.sum(gains, axis=0), metrics,
-            jnp.full(binned_val.shape[0], jnp.nan, jnp.float32))
+            jnp.full_like(mv0, jnp.nan))
 
 
 def _fit_dart(binned, binned_T, y, w, row_ids, binned_val, yv, vmask, params,
@@ -945,7 +1031,7 @@ def _fit_dart(binned, binned_T, y, w, row_ids, binned_val, yv, vmask, params,
         drop = prev & (jax.random.uniform(k_drop, (R,)) < params.dart_rate)
         k = jnp.sum(drop).astype(jnp.float32)
         keep_scale = jnp.where(drop, 0.0, scale)
-        margin = keep_scale @ c_train
+        margin = keep_scale @ c_train + params.base_score
 
         grad, hess = objective(margin, y, w)
         if params.subsample < 1.0:
@@ -977,7 +1063,7 @@ def _fit_dart(binned, binned_T, y, w, row_ids, binned_val, yv, vmask, params,
                   if lossguide else
                   _predict_tree(tree, binned_val, missing_id, depth + 1))
             c_val = c_val.at[r].set(pv)
-            full_val = scale @ c_val
+            full_val = scale @ c_val + params.base_score
             p = jax.nn.sigmoid(full_val)
             eps = 1e-16
             ll = -(yv * jnp.log(jnp.clip(p, eps, 1.0))
@@ -1312,13 +1398,26 @@ def _grouped_tree_scan(trees, n_total, step_fn, n0):
 @functools.partial(jax.jit, static_argnums=(2,))
 def _predict_margin_jit(forest, binned, cfg):
     binned = binned.astype(jnp.int32)
-    missing_id, depth, n_trees = cfg
+    missing_id, depth, n_trees, base_score = cfg
     lossguide = len(forest) == 7
+    multiclass = forest[0].ndim == 3  # [R, K, ...] class-stacked trees
 
     trees = tuple(forest)
     if n_trees is not None:
         trees = jax.tree.map(lambda a: a[:n_trees], trees)
     r_total = trees[0].shape[0]
+
+    if multiclass:
+        n_class = trees[0].shape[1]
+
+        def step(tree, r):  # tree arrays are [K, ...]; returns [N, K]
+            return jnp.stack(
+                [_predict_tree(tuple(a[k] for a in tree), binned,
+                               missing_id, depth + 1)
+                 for k in range(n_class)], axis=-1)
+
+        n0 = jnp.full((binned.shape[0], n_class), base_score, jnp.float32)
+        return _grouped_tree_scan(trees, r_total, step, n0)
 
     def step(tree, r):
         if lossguide:
@@ -1326,7 +1425,8 @@ def _predict_margin_jit(forest, binned, cfg):
         return _predict_tree(tree, binned, missing_id, depth + 1)
 
     return _grouped_tree_scan(trees, r_total, step,
-                              jnp.zeros(binned.shape[0], jnp.float32))
+                              jnp.full(binned.shape[0], base_score,
+                                       jnp.float32))
 
 
 def predict_margin(model: GBDTModel, X: np.ndarray,
@@ -1348,23 +1448,41 @@ def predict_margin(model: GBDTModel, X: np.ndarray,
                           p.max_leaves)
     else:
         route_depth = p.max_depth
-    cfg = (p.n_bins, route_depth, n_trees)
+    cfg = (p.n_bins, route_depth, n_trees, float(p.base_score))
     return _predict_margin_jit(model.forest, binned, cfg)
 
 
 def predict_proba(model: GBDTModel, X: np.ndarray,
                   n_trees: Optional[int] = None) -> jnp.ndarray:
-    return jax.nn.sigmoid(predict_margin(model, X, n_trees))
+    """[N] sigmoid probabilities (binary), or [N, K] softmax (multiclass)."""
+    m = predict_margin(model, X, n_trees)
+    if model.params.num_class >= 2:
+        return jax.nn.softmax(m, axis=-1)
+    return jax.nn.sigmoid(m)
 
 
 @functools.partial(jax.jit, static_argnums=(3,))
 def _predict_margin_folds_jit(forests, binned, n_trees, cfg):
     binned = binned.astype(jnp.int32)
-    missing_id, depth = cfg
+    missing_id, depth, base_score = cfg
     lossguide = len(forests) == 7
+    multiclass = forests[0].ndim == 4  # [folds, R, K, ...]
 
     def one(forest, b, nt):
         trees = tuple(forest)
+
+        if multiclass:
+            n_class = trees[0].shape[1]
+
+            def step(tree, r):  # [N, K]
+                v = jnp.stack(
+                    [_predict_tree(tuple(a[k] for a in tree), b,
+                                   missing_id, depth + 1)
+                     for k in range(n_class)], axis=-1)
+                return jnp.where(r < nt, v, 0.0)
+
+            n0 = jnp.full((b.shape[0], n_class), base_score, jnp.float32)
+            return _grouped_tree_scan(trees, trees[0].shape[0], step, n0)
 
         def step(tree, r):
             if lossguide:
@@ -1377,7 +1495,8 @@ def _predict_margin_folds_jit(forests, binned, n_trees, cfg):
             return jnp.where(r < nt, v, 0.0)
 
         return _grouped_tree_scan(trees, trees[0].shape[0], step,
-                                  jnp.zeros(b.shape[0], jnp.float32))
+                                  jnp.full(b.shape[0], base_score,
+                                           jnp.float32))
 
     return jax.vmap(one)(forests, binned, n_trees)
 
@@ -1428,7 +1547,8 @@ def predict_margin_folds(models, X) -> np.ndarray:
 
     out = call_cached(
         _predict_margin_folds_jit,
-        (tuple(forests), binned, n_trees, (p.n_bins, route_depth)),
+        (tuple(forests), binned, n_trees,
+         (p.n_bins, route_depth, float(p.base_score))),
         tag="gbdt_predict_folds", static_argnums=(3,))
     return np.asarray(out)
 

@@ -69,6 +69,22 @@ def make_focal(gamma: float, alpha: float):
     return focal
 
 
+def squarederror(margin, label, weight):
+    """reg:squarederror — grad = w*(pred - y), hess = w.
+
+    The soft-label trainers (label smoothing v102, soft pseudo-labels v97,
+    knowledge distillation v108) all train XGBoost REGRESSION on blended
+    float targets (reference:
+    non_successful_tests/scripts/train_v102_label_smoothing.py:113-137,
+    train_v97_soft_pseudo.py:122, train_v108_knowledge_distillation.py:213);
+    predictions are the raw margins (no sigmoid). Pair with
+    ``GBDTParams(base_score=0.5, eval_metric='rmse')`` for XGBoost's
+    regression defaults."""
+    grad = weight * (margin - label)
+    hess = weight * jnp.ones_like(margin)
+    return grad, hess
+
+
 def logloss_metric(margin, label):
     """Unweighted binary logloss (XGBoost eval_metric='logloss')."""
     p = 1.0 / (1.0 + jnp.exp(-margin))

@@ -103,3 +103,63 @@ class OracleGBDT:
 
     def predict_margin(self, binned):
         return sum(self._predict_tree(t, binned) for t in self.trees)
+
+
+class OracleMulticlassGBDT(OracleGBDT):
+    """multi:softprob oracle: K trees per round on softmax grad/hess
+    (grad = p_k - 1{y=k}, hess = max(2 p_k (1-p_k), 1e-16) — XGBoost's
+    SoftmaxMultiClassObj; gpair computed once at round start)."""
+
+    def __init__(self, n_class, **kw):
+        super().__init__(**kw)
+        self.n_class = n_class
+
+    def fit(self, binned, y, w):
+        p = self.p
+        n, K = len(y), self.n_class
+        margin = np.zeros((n, K))
+        yk = np.eye(K)[np.asarray(y, int)]
+        for _ in range(p["n_rounds"]):
+            z = margin - margin.max(axis=1, keepdims=True)
+            prob = np.exp(z)
+            prob /= prob.sum(axis=1, keepdims=True)
+            grads = w[:, None] * (prob - yk)
+            hesss = w[:, None] * np.maximum(2.0 * prob * (1 - prob), 1e-16)
+            round_trees = []
+            for k in range(K):
+                tree = self._build_tree(binned, grads[:, k], hesss[:, k])
+                round_trees.append(tree)
+                margin[:, k] += self._predict_tree(tree, binned)
+            self.trees.append(round_trees)
+        return margin
+
+    def predict_margin(self, binned):
+        out = np.zeros((binned.shape[0], self.n_class))
+        for round_trees in self.trees:
+            for k, t in enumerate(round_trees):
+                out[:, k] += self._predict_tree(t, binned)
+        return out
+
+
+class OracleRegressionGBDT(OracleGBDT):
+    """reg:squarederror oracle: grad = w*(pred - y), hess = w, prediction
+    bias base_score (XGBoost regression default 0.5)."""
+
+    def __init__(self, base_score=0.5, **kw):
+        super().__init__(**kw)
+        self.base_score = base_score
+
+    def fit(self, binned, y, w):
+        p = self.p
+        margin = np.full(len(y), self.base_score)
+        for _ in range(p["n_rounds"]):
+            grad = w * (margin - y)
+            hess = w.astype(np.float64).copy()
+            tree = self._build_tree(binned, grad, hess)
+            self.trees.append(tree)
+            margin += self._predict_tree(tree, binned)
+        return margin
+
+    def predict_margin(self, binned):
+        return self.base_score + sum(
+            self._predict_tree(t, binned) for t in self.trees)

@@ -20,8 +20,9 @@ from mallorn_tpu.cli.main import main
 pytestmark = pytest.mark.slow
 
 ALL_CONFIGS = ["baseline", "v19", "v34a", "v42", "v55", "v56", "v57", "v58", "v59b",
-               "v60",
-               "v92", "v92a", "v92b", "v92c", "v92d", "v104",
+               "v60", "v62",
+               "v92", "v92a", "v92b", "v92c", "v92d", "v97",
+               "v102a", "v102b", "v102c", "v104", "v108",
                "v110", "v111", "v115c", "v118", "v119"]
 
 

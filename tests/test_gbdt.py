@@ -164,3 +164,108 @@ def test_val_margin_from_fit_equals_predict():
         nv = len(folds[i]["X_val"])
         np.testing.assert_allclose(m.val_margin[:nv], got[i][:nv],
                                    rtol=0, atol=1e-5)
+
+
+def _make_mc_data(n=300, f=6, n_class=4, seed=11):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, f)).astype(np.float32)
+    W = rng.normal(size=(f, n_class))
+    logits = X @ W + rng.normal(scale=0.5, size=(n, n_class))
+    y = np.argmax(logits, axis=1).astype(np.float32)
+    X[rng.uniform(size=n) < 0.1, 2] = np.nan
+    return X, y
+
+
+def test_multiclass_matches_numpy_oracle():
+    """multi:softprob exact parity vs the loop-NumPy oracle (reference v62
+    semantics: scripts/train_v62_multiclass_ensemble.py:176-177)."""
+    from mallorn_tpu.trees import apply_bins, fit_bins
+    from tests.oracles.gbdt_oracle import OracleMulticlassGBDT
+
+    X, y = _make_mc_data(250, 6, n_class=4, seed=5)
+    params = GBDTParams(n_rounds=8, max_depth=3, learning_rate=0.1,
+                        subsample=1.0, colsample_bytree=1.0,
+                        min_child_weight=1.0, reg_alpha=0.1, reg_lambda=1.0,
+                        n_bins=64, num_class=4)
+    model = train_gbdt(X, y, params, scale_pos_weight=1.0)
+    ours = np.asarray(predict_margin(model, X, n_trees=params.n_rounds))
+
+    spec = fit_bins(X, 64)
+    binned = np.asarray(apply_bins(spec, X))
+    oracle = OracleMulticlassGBDT(n_class=4, n_rounds=8, max_depth=3,
+                                  learning_rate=0.1, reg_alpha=0.1,
+                                  reg_lambda=1.0, min_child_weight=1.0,
+                                  n_bins=64)
+    oracle.fit(binned, y, np.ones(len(y)))
+    want = oracle.predict_margin(binned)
+    np.testing.assert_allclose(ours, want, rtol=2e-3, atol=2e-3)
+
+
+def test_multiclass_learns_and_probs_normalize():
+    X, y = _make_mc_data(600, 6, n_class=3, seed=9)
+    params = GBDTParams(n_rounds=60, max_depth=4, learning_rate=0.15,
+                        num_class=3)
+    model = train_gbdt(X, y, params, scale_pos_weight=1.0)
+    p = np.asarray(predict_proba(model, X))
+    assert p.shape == (600, 3)
+    np.testing.assert_allclose(p.sum(axis=1), 1.0, atol=1e-5)
+    assert (p.argmax(axis=1) == y).mean() > 0.85
+
+
+def test_multiclass_early_stopping_mlogloss():
+    X, y = _make_mc_data(700, 6, n_class=4, seed=13)
+    Xt, yt, Xv, yv = X[:500], y[:500], X[500:], y[500:]
+    params = GBDTParams(n_rounds=120, max_depth=4, learning_rate=0.3,
+                        num_class=4)
+    m = train_gbdt(Xt, yt, params, scale_pos_weight=1.0, X_val=Xv, y_val=yv,
+                   early_stopping_rounds=10)
+    assert m.best_iteration >= 0
+    h = np.asarray(m.eval_history)
+    assert np.isfinite(h[: m.best_iteration + 1]).all()
+    # fit-tracked val margins equal an explicit best-iteration predict
+    if m.val_margin is not None:
+        want = np.asarray(predict_margin(m, Xv))  # [Nv, K]
+        np.testing.assert_allclose(m.val_margin.T[: len(Xv)], want,
+                                   rtol=0, atol=1e-5)
+
+
+def test_squarederror_matches_numpy_oracle():
+    """reg:squarederror parity vs the loop oracle (the soft-label trainers'
+    objective, reference train_v102_label_smoothing.py:113-137)."""
+    from mallorn_tpu.trees import apply_bins, fit_bins
+    from tests.oracles.gbdt_oracle import OracleRegressionGBDT
+
+    X, y = _make_data(300, 6, seed=21)
+    y_soft = np.where(y == 1, 0.9, 0.1).astype(np.float32)  # eps=0.1 smooth
+    params = GBDTParams(n_rounds=12, max_depth=3, learning_rate=0.1,
+                        subsample=1.0, colsample_bytree=1.0,
+                        min_child_weight=1.0, reg_alpha=0.1, reg_lambda=1.0,
+                        n_bins=64, base_score=0.5, eval_metric="rmse")
+    model = train_gbdt(X, y_soft, params, scale_pos_weight=1.0,
+                       objective=objectives.squarederror)
+    ours = np.asarray(predict_margin(model, X, n_trees=params.n_rounds))
+
+    spec = fit_bins(X, 64)
+    binned = np.asarray(apply_bins(spec, X))
+    oracle = OracleRegressionGBDT(base_score=0.5, n_rounds=12, max_depth=3,
+                                  learning_rate=0.1, reg_alpha=0.1,
+                                  reg_lambda=1.0, min_child_weight=1.0,
+                                  n_bins=64)
+    oracle.fit(binned, y_soft.astype(np.float64), np.ones(len(y)))
+    want = oracle.predict_margin(binned)
+    np.testing.assert_allclose(ours, want, rtol=2e-3, atol=2e-3)
+
+
+def test_squarederror_early_stop_rmse():
+    X, y = _make_data(600, 8, seed=23)
+    y_soft = np.where(y == 1, 0.95, 0.05).astype(np.float32)
+    Xt, yt, Xv, yv = X[:450], y_soft[:450], X[450:], y_soft[450:]
+    params = GBDTParams(n_rounds=150, max_depth=4, learning_rate=0.2,
+                        base_score=0.5, eval_metric="rmse")
+    m = train_gbdt(Xt, yt, params, scale_pos_weight=1.0,
+                   objective=objectives.squarederror,
+                   X_val=Xv, y_val=yv, early_stopping_rounds=15)
+    assert m.best_iteration >= 0
+    pred = np.asarray(predict_margin(m, Xv))
+    rmse = float(np.sqrt(np.mean((pred - yv) ** 2)))
+    assert rmse < 0.3, rmse
