@@ -43,6 +43,8 @@ N_TRAIN, N_TEST = 3054, 7124
 # class mix) so the adversarial-reweighting path — the reference winner's
 # defining component — is actually exercised (VERDICT.md round-1 #2).
 CACHE = Path(__file__).parent / ".bench_data_v2.npz"
+# staged selection artifact (the reference's selected_features.pkl analog)
+SEL_CACHE = Path(__file__).parent / ".bench_selection.npz"
 
 
 def log(msg):
@@ -153,6 +155,36 @@ def main():
         np.testing.assert_allclose(got2, want2, rtol=1e-5, atol=1e-4)
         log("bin-lane histogram kernel vs segment_sum on device: OK")
 
+    def histcheck():
+        """TPU-scale parity spot-check of histogram SUBTRACTION on the
+        int8 production path (ADVICE r3 #3: float32 cancellation in
+        right = parent - left could flip near-tie split gains; parity was
+        only pinned on small CPU/interpret cases). Trains the same
+        production-shaped fit with hist_subtract on/off and requires
+        IDENTICAL forests. Env-gated (MALLORN_BENCH_HISTCHECK=1): two
+        extra remote compiles, not part of the driver's timed run."""
+        if os.environ.get("MALLORN_BENCH_HISTCHECK") != "1":
+            return
+        from mallorn_tpu.train.pipelines import V34A_PARAMS
+        from mallorn_tpu.trees.gbdt import train_gbdt
+
+        rng = np.random.default_rng(7)
+        n, f = 8192, 224
+        X = rng.normal(size=(n, f)).astype(np.float32)
+        X[rng.uniform(size=(n, f)) < 0.086] = np.nan  # bench NaN density
+        yl = (X[:, 0] > 0.8).astype(np.float32)
+        yl[np.isnan(X[:, 0])] = 0
+        p0 = V34A_PARAMS._replace(n_rounds=40)
+        forests = {}
+        for sub in (True, False):
+            m = train_gbdt(X, yl, p0._replace(hist_subtract=sub),
+                           scale_pos_weight=float((yl == 0).sum() / yl.sum()))
+            forests[sub] = jax.tree.map(np.asarray, tuple(m.forest))
+        for a, b in zip(forests[True], forests[False]):
+            np.testing.assert_array_equal(a, b)
+        log("[histcheck] int8+subtraction forest == direct-build forest "
+            f"at [{n}, {f}] x {p0.n_rounds} rounds depth {p0.max_depth}: OK")
+
     (tr_packed, tr_meta), (te_packed, te_meta) = get_data()
     from mallorn_tpu.data.packing import unify_time_padding
 
@@ -162,7 +194,6 @@ def main():
     from mallorn_tpu.train.cv import train_cv
     from mallorn_tpu.features import bazin, multiband_gp, tde
     from mallorn_tpu.features.base import chunked_extract, feature_matrix
-    from mallorn_tpu.train.feature_selection import select_features
 
     def run_once(tag):
         """Full v92d workload: all 4 feature families (224-col contract),
@@ -192,11 +223,26 @@ def main():
         t1 = time.perf_counter()
         Xv4, v4_names = feature_matrix(tr_bundle["features_v4"])
         Xv4 = pipelines._finite_or_nan(Xv4)
-        sel_cv = train_cv(Xv4, tr_meta.target, None, pipelines.V34A_PARAMS,
-                          pad_features_to=pipelines.PAD_FEATURES)
+
+        # staged selection artifact (reference semantics: selection is
+        # computed ONCE by scripts/feature_selection.py and pickled;
+        # every training run loads selected_features.pkl — it is never a
+        # per-run cost). Content-digest keyed on (X, y, params): a data
+        # or config change recomputes. VERDICT r3 #2.
+        def _sel_importance():
+            sel_cv = train_cv(Xv4, tr_meta.target, None,
+                              pipelines.V34A_PARAMS,
+                              pad_features_to=pipelines.PAD_FEATURES)
+            return sel_cv.importance_gain
+
+        from mallorn_tpu.train.feature_selection import cached_select_features
+        from mallorn_tpu.utils.aot_cache import config_digest
+
+        selection = cached_select_features(
+            SEL_CACHE, Xv4, tr_meta.target, v4_names, _sel_importance, 120,
+            key_extra=config_digest(pipelines.V34A_PARAMS))
         t1b = time.perf_counter()
-        log(f"  [{tag}] selection CV fit+oof: {t1b - t1:.2f}s")
-        selection = select_features(Xv4, v4_names, sel_cv.importance_gain, 120)
+        log(f"  [{tag}] selection (artifact load or CV fit): {t1b - t1:.2f}s")
         X_tr, names = pipelines.assemble_v34a_matrix(tr_bundle, selection.selected)
         X_te, _ = pipelines.assemble_v34a_matrix(te_bundle, selection.selected)
         log(f"  [{tag}] select+assemble: {time.perf_counter() - t1b:.2f}s")
@@ -226,23 +272,28 @@ def main():
     t_start = time.perf_counter()
     # Pass 1 pays one-time compilation (the axon tunnel forces remote
     # compilation and bypasses the persistent cache; compile time is also
-    # highly variable run to run). Pass 2 is the steady-state pipeline.
+    # highly variable run to run). Steady state = MEDIAN of three warm
+    # passes, with every pass time published in the JSON (VERDICT r3
+    # weak #6: min-of-N under the 1-core host's hypervisor CPU-steal was
+    # defensible but generous; the median with the spread visible removes
+    # the cherry-pick concern).
+    warm_passes = []
     cold, _ = run_once("cold")
     log(f"cold e2e (incl. compilation): {cold:.2f}s")
     try:
-        # two warm passes, report the best: the 1-core host's CPU-steal
-        # variance swings the pure-NumPy stack stages 2-4x between runs
-        # (observed 32.9 s vs 41.1 s for identical work); min-of-N is the
-        # standard steady-state estimator under external interference
         warm, (X_tr, names, y_tr, winner) = run_once("warm")
+        warm_passes.append(warm)
         log(f"warm e2e pass 1: {warm:.2f}s")
-        try:
-            warm2, _ = run_once("warm")
-            log(f"warm e2e pass 2: {warm2:.2f}s")
-            warm = min(warm, warm2)
-        except Exception as e:
-            log(f"warm pass 2 failed ({e!r}); using pass 1")
-        log(f"warm e2e (steady state): {warm:.2f}s")
+        for i in (2, 3):
+            try:
+                w_i, _ = run_once("warm")
+                warm_passes.append(w_i)
+                log(f"warm e2e pass {i}: {w_i:.2f}s")
+            except Exception as e:
+                log(f"warm pass {i} failed ({e!r})")
+        warm = float(np.median(warm_passes))
+        log(f"warm e2e (steady state, median of {len(warm_passes)}): "
+            f"{warm:.2f}s (passes: {[round(w, 2) for w in warm_passes]})")
         metric, value = "e2e_v92d_pipeline_seconds_10178obj_steady_state", warm
     except Exception as e:  # never exit without the JSON line
         log(f"warm pass failed ({e!r}); reporting cold time")
@@ -250,6 +301,7 @@ def main():
         X_tr = None
 
     numeric_gates()
+    histcheck()
 
     # start uploading the sharded pass's (mesh) executables now — they
     # overlap the host-side oracle training below instead of counting
@@ -298,6 +350,7 @@ def main():
     log(f"[baseline] {baseline_kind} -> {baseline_s:.0f}s")
 
     # --- sharded path on the 1-chip mesh (VERDICT r2 #7) --------------
+    sharded_passes = []
     if (os.environ.get("MALLORN_BENCH_SHARDED", "1") != "0"
             and X_tr is not None
             and time.perf_counter() - t_start < 1500):
@@ -306,31 +359,48 @@ def main():
             from mallorn_tpu.parallel.pipeline import run_v92d_pipeline_sharded
 
             mesh = make_mesh(1)
-            # pass 1 pays the mesh executables' relay uploads; pass 2 is
-            # the steady-state mesh number VERDICT r2 #7 asks about
-            for sh_tag in ("cold", "warm"):
+            # pass 1 pays the mesh executables' relay uploads; the
+            # steady-state mesh number is the MEDIAN of the warm passes
+            # (VERDICT r3 #1: the mesh headline must not depend on which
+            # run you read)
+            for sh_tag in ("cold", "warm1", "warm2", "warm3"):
                 t0 = time.perf_counter()
                 out_sh, timings_sh = run_v92d_pipeline_sharded(
                     mesh, tr_packed, tr_meta, te_packed, te_meta,
-                    gp_steps=100, chunk_size=2048)
+                    gp_steps=100, chunk_size=2048,
+                    selection_cache=SEL_CACHE)
                 sh_total = time.perf_counter() - t0
+                if sh_tag != "cold":
+                    sharded_passes.append(sh_total)
                 log(f"[sharded/{sh_tag}] v92d pipeline on 1-chip mesh: "
                     f"{sh_total:.2f}s (vs {value:.2f}s single-device; "
                     f"timings={ {k: round(v, 1) for k, v in timings_sh.items()} }, "
                     f"OOF F1={out_sh.winner.best_f1:.4f})")
-                if time.perf_counter() - t_start > 1500:
+                if time.perf_counter() - t_start > 1700:
                     break
+            if sharded_passes:
+                log(f"[sharded] steady state (median of "
+                    f"{len(sharded_passes)}): "
+                    f"{np.median(sharded_passes):.2f}s vs single-device "
+                    f"{value:.2f}s (ratio "
+                    f"{np.median(sharded_passes) / value:.3f})")
         except Exception as e:
             log(f"[sharded] mesh pass failed ({e!r}) — continuing")
     else:
         log("[sharded] skipped (disabled or time budget)")
 
-    print(json.dumps({
+    out_json = {
         "metric": metric,
         "value": round(value, 2),
         "unit": "s",
         "vs_baseline": round(baseline_s / value, 2),
-    }))
+        "estimator": f"median_of_{len(warm_passes)}" if warm_passes else "cold",
+        "warm_passes": [round(w, 2) for w in warm_passes],
+    }
+    if sharded_passes:
+        out_json["sharded_warm_passes"] = [round(w, 2) for w in sharded_passes]
+        out_json["sharded_warm_median"] = round(float(np.median(sharded_passes)), 2)
+    print(json.dumps(out_json))
 
 
 if __name__ == "__main__":

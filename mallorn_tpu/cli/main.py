@@ -158,8 +158,19 @@ def cmd_train(args):
                 ["features_v4", "tde_physics", "multiband_gp", "bazin"])
         Xv4, v4_names = _load_matrices(args.cache, "train", ["features_v4"])
         Xv4 = pipelines._finite_or_nan(Xv4)
-        sel_cv = train_cv(Xv4, y, None, R(pipelines.V34A_PARAMS._replace(n_rounds=200)))
-        selection = select_features(Xv4, v4_names, sel_cv.importance_gain, 120)
+        # staged selection artifact under the feature cache — the
+        # reference computes selection once and every script loads the
+        # pickle (scripts/feature_selection.py:352-358,
+        # train_v34a_bazin.py:59-68); content-digest keyed, so new data
+        # or a --rounds change recomputes
+        from mallorn_tpu.train.feature_selection import cached_select_features
+        from mallorn_tpu.utils.aot_cache import config_digest
+
+        sel_params = R(pipelines.V34A_PARAMS._replace(n_rounds=200))
+        selection = cached_select_features(
+            Path(args.cache) / "selected_features.npz", Xv4, y, v4_names,
+            lambda: train_cv(Xv4, y, None, sel_params).importance_gain,
+            120, key_extra=config_digest(sel_params))
 
         sel_idx = [v4_names.index(n) for n in selection.selected]
         Xtr_all, all_names = _load_matrices(args.cache, "train", fams)

@@ -87,8 +87,15 @@ def _setup(t, f, e, mask):
     return theta0, lb, ub, feasible, n
 
 
-def fit_all_bands(packed: PackedLightcurves, n_iters: int = 60):
-    """Run the batched fit. Returns per-lane dict of [N, 6] arrays."""
+def fit_all_bands(packed: PackedLightcurves, n_iters: int = 60,
+                  n_starts: int = 4):
+    """Run the batched fit. Returns per-lane dict of [N, 6] arrays.
+
+    ``n_starts`` keeps the first k of the 4 multi-starts, ordered by
+    measured marginal value (peak-anchored theta0, fast-transient s3,
+    early-peak/slow-fall s2, mid-amplitude s4); the LM is latency-bound
+    on its serial iterations with per-iteration cost linear in starts
+    (tools/probe_lm.py)."""
     N = packed.n_objects
     T = packed.band_time.shape[-1]
     t = packed.band_time.reshape(N * N_BANDS, T)
@@ -108,7 +115,7 @@ def fit_all_bands(packed: PackedLightcurves, n_iters: int = 60):
     s3 = theta0.at[:, 2].set(jnp.clip(0.02 * dur, 0.1, None))
     s3 = s3.at[:, 3].set(jnp.clip(0.1 * dur, 0.1, None))
     s4 = theta0.at[:, 0].set(0.5 * (lb[:, 0] + ub[:, 0])).at[:, 4].set(0.0)
-    starts = jnp.stack([theta0, s2, s3, s4])  # [S, L, P]
+    starts = jnp.stack([theta0, s3, s2, s4][:n_starts])  # [S, L, P]
 
     res = lm_fit_batched(bazin_model, t, f, e, mask, starts, lb, ub,
                          n_iters=n_iters)
@@ -153,18 +160,26 @@ def _nanstd_mean_ratio(vals):
     return jnp.where(n >= 2, out, jnp.nan)
 
 
-def extract(packed: PackedLightcurves, meta=None, n_iters: int = 60) -> FeatureSet:
+def extract(packed: PackedLightcurves, meta=None, n_iters: int = 40,
+            n_starts: int = 4) -> FeatureSet:
     """Routes through the persistent executable cache: the 61k-lane LM
-    fit is the single biggest compile in the extraction path."""
+    fit is the single biggest compile in the extraction path.
+
+    Default n_iters=40 (was 60): measured at bench scale, 40 iterations
+    keep 99.6% of lanes within 1.05x of the 60-iteration chi^2 (median
+    ratio 1.0000, p99 1.012 — tools/probe_lm.py) while the LM cost is
+    linear in the iteration cap; the scipy-parity gate
+    (tests/test_bazin.py) is pinned independently at 80 iterations."""
     from mallorn_tpu.utils.aot_cache import call_cached
 
-    return call_cached(_extract_jit, (packed, n_iters), tag="feat_bazin",
-                       static_argnums=(1,))
+    return call_cached(_extract_jit, (packed, n_iters, n_starts),
+                       tag="feat_bazin", static_argnums=(1, 2))
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def _extract_jit(packed: PackedLightcurves, n_iters: int) -> FeatureSet:
-    per_band = fit_all_bands(packed, n_iters=n_iters)
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _extract_jit(packed: PackedLightcurves, n_iters: int,
+                 n_starts: int = 4) -> FeatureSet:
+    per_band = fit_all_bands(packed, n_iters=n_iters, n_starts=n_starts)
 
     feats: FeatureSet = {}
     for bi, band in enumerate(LSST_BANDS):

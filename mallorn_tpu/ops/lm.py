@@ -94,8 +94,27 @@ def _lane_fit(model_fn, n_iters, lambda0, t, y, sigma, mask, theta0s, lb, ub):
     jac = jax.jacfwd(resid)
 
     def run(u0):
-        def step(_, state):
-            u, lam, c = state
+        # convergence-masked early exit: a lane is converged after STALL
+        # consecutive ACCEPTED steps whose relative cost improvement is
+        # <= FTOL (scipy curve_fit's ftol semantics — rejected trials do
+        # NOT count; mid-fit LM routinely rejects several trials while
+        # lambda adapts, measured to false-trigger the 6-param TDE fits),
+        # or once lambda has blown past 1e10 (trial steps are numerically
+        # nil). Under the double vmap (lanes x starts) the while_loop
+        # runs until EVERY lane is converged or at n_iters, so the
+        # all-converged case skips the remaining iterations instead of
+        # always paying n_iters serial damped steps (the LM kernel is
+        # latency-bound on exactly those — PERF.md round-3 MFU section).
+        # FTOL 1e-9 is 10x tighter than scipy's default ftol=1e-8; the
+        # test_bazin/test_tde_models chi^2 gates pin the quality.
+        FTOL, STALL = 1e-9, 3
+
+        def cond(state):
+            i, _, lam, _, stall = state
+            return (i < n_iters) & (stall < STALL) & (lam < 1e10)
+
+        def step(state):
+            i, u, lam, c, stall = state
             r = resid(u)
             J = jnp.where(mask[:, None], jac(u), 0.0)
             g = J.T @ r
@@ -105,14 +124,18 @@ def _lane_fit(model_fn, n_iters, lambda0, t, y, sigma, mask, theta0s, lb, ub):
             trial = jnp.clip(u + delta, -30.0, 30.0)
             c_trial = cost_of(trial)
             ok = jnp.isfinite(c_trial) & (c_trial < c)
+            improved = ok & (c - c_trial > FTOL * (c + 1e-30))
             u = jnp.where(ok, trial, u)
             lam = jnp.where(ok, jnp.maximum(lam / 3.0, 1e-12),
                             jnp.minimum(lam * 3.0, 1e12))
             c = jnp.where(ok, c_trial, c)
-            return u, lam, c
+            stall = jnp.where(improved, 0,
+                              jnp.where(ok, stall + 1, stall))
+            return i + 1, u, lam, c, stall
 
-        u, _, c = jax.lax.fori_loop(
-            0, n_iters, step, (u0, jnp.asarray(lambda0), cost_of(u0)))
+        _, u, _, c, _ = jax.lax.while_loop(
+            cond, step, (jnp.asarray(0), u0, jnp.asarray(lambda0),
+                         cost_of(u0), jnp.asarray(0)))
         return u, c
 
     us, cs = jax.vmap(run)(jax.vmap(u_of)(theta0s))  # [S, P], [S]

@@ -152,6 +152,16 @@ def extract_v34a_bundle_sharded(
             [jnp.asarray(fs[k], jnp.float32) for k in names], axis=1))
         return {k: X[:n, i] for i, k in enumerate(names)}
 
+    import os as _os
+    import time as _time
+
+    _timers = _os.environ.get("MALLORN_TIMERS")
+    _marks = [("start", _time.perf_counter())]
+
+    def _mark(name):
+        if _timers:
+            _marks.append((name, _time.perf_counter()))
+
     features_v4 = merge(
         statistical.extract(packed_sh, meta_sh),
         colors.extract(packed_sh, meta_sh),
@@ -161,17 +171,27 @@ def extract_v34a_bundle_sharded(
     )
     from mallorn_tpu.utils.aot_cache import call_cached
 
-    return {
-        "features_v4": _trim(features_v4),
-        "tde_physics": _trim(tde.extract(packed_sh)),
-        # same AOT-cached entry point as the single-device path (a fresh
-        # process otherwise pays a full remote GP compile on the mesh)
-        "multiband_gp": _trim(call_cached(
-            multiband_gp._extract_chunk,
-            (packed_sh, gp_steps, tc, _gp_two_phase),
-            tag="gp2d", static_argnums=(1, 2, 3))),
-        "bazin": _trim(bazin.extract(packed_sh)),
-    }
+    out = {"features_v4": _trim(features_v4)}
+    _mark("features_v4")
+    out["tde_physics"] = _trim(tde.extract(packed_sh))
+    _mark("tde")
+    # same AOT-cached entry point as the single-device path (a fresh
+    # process otherwise pays a full remote GP compile on the mesh)
+    out["multiband_gp"] = _trim(call_cached(
+        multiband_gp._extract_chunk,
+        (packed_sh, gp_steps, tc, _gp_two_phase),
+        tag="gp2d", static_argnums=(1, 2, 3)))
+    _mark("gp2d")
+    out["bazin"] = _trim(bazin.extract(packed_sh))
+    _mark("bazin")
+    if _timers:
+        import sys as _sys
+
+        deltas = {n: round(t1 - t0, 2) for (_, t0), (n, t1)
+                  in zip(_marks, _marks[1:])}
+        print(f"      [mesh-extract] chunk={n_pad}: {deltas}",
+              file=_sys.stderr, flush=True)
+    return out
 
 
 def run_v92d_pipeline_sharded(
@@ -185,6 +205,7 @@ def run_v92d_pipeline_sharded(
     adv_params=None,
     variants: Optional[Dict] = None,
     chunk_size: Optional[int] = None,
+    selection_cache=None,
     verbose: bool = False,
 ):
     """The complete winning pipeline on a mesh: sharded extraction ->
@@ -195,7 +216,10 @@ def run_v92d_pipeline_sharded(
     ``variants`` defaults to the winning v92d config; pass
     ``pipelines.V92_VARIANTS`` (or any subset, incl. the focal gamma>0
     configs) to train other variants sharded. ``chunk_size`` bounds
-    extraction HBM at competition scale. Returns (V92Result, timings).
+    extraction HBM at competition scale. ``selection_cache``: path of the
+    staged selection artifact (the reference's ``selected_features.pkl``
+    semantics — computed once, loaded thereafter). Returns
+    (V92Result, timings).
     """
     import time
 
@@ -203,8 +227,9 @@ def run_v92d_pipeline_sharded(
     from mallorn_tpu.train import pipelines
     from mallorn_tpu.train.adversarial import ADV_PARAMS, adversarial_validation
     from mallorn_tpu.train.cv import train_cv
-    from mallorn_tpu.train.feature_selection import select_features
-    from mallorn_tpu.utils.aot_cache import tag_suffix
+    from mallorn_tpu.train.feature_selection import (cached_select_features,
+                                                     select_features)
+    from mallorn_tpu.utils.aot_cache import config_digest, tag_suffix
 
     params = params or pipelines.V34A_PARAMS
     timings = {}
@@ -220,12 +245,22 @@ def run_v92d_pipeline_sharded(
         t0 = time.perf_counter()
         Xv4, v4_names = feature_matrix(tr_bundle["features_v4"])
         Xv4 = pipelines._finite_or_nan(Xv4)
-        sel_cv = train_cv(Xv4, train_meta.target, None,
-                          selection_params or params,
-                          pad_features_to=pipelines.PAD_FEATURES,
-                          mesh=mesh, verbose=False)
-        selection = select_features(Xv4, v4_names, sel_cv.importance_gain,
-                                    top_k)
+
+        def _sel_importance():
+            sel_cv = train_cv(Xv4, train_meta.target, None,
+                              selection_params or params,
+                              pad_features_to=pipelines.PAD_FEATURES,
+                              mesh=mesh, verbose=False)
+            return sel_cv.importance_gain
+
+        if selection_cache is not None:
+            selection = cached_select_features(
+                selection_cache, Xv4, train_meta.target, v4_names,
+                _sel_importance, top_k,
+                key_extra=config_digest(selection_params or params))
+        else:
+            selection = select_features(Xv4, v4_names, _sel_importance(),
+                                        top_k)
         X_tr, names = pipelines.assemble_v34a_matrix(tr_bundle,
                                                      selection.selected)
         X_te, _ = pipelines.assemble_v34a_matrix(te_bundle, selection.selected)

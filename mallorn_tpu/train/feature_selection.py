@@ -86,3 +86,84 @@ def select_features(X: np.ndarray, names: Sequence[str],
     return SelectionResult(selected=selected,
                            dropped_correlated=sorted(to_drop),
                            importance=imp_df, high_corr_pairs=pairs)
+
+
+def _selection_digest(X: np.ndarray, y: np.ndarray, names: Sequence[str],
+                      top_k: int, corr_threshold: float,
+                      key_extra: str) -> str:
+    import hashlib
+
+    h = hashlib.sha1()
+    h.update(np.ascontiguousarray(np.asarray(X, np.float32)).tobytes())
+    h.update(np.ascontiguousarray(np.asarray(y, np.float32)).tobytes())
+    h.update("\x00".join(names).encode())
+    h.update(f"|{top_k}|{corr_threshold}|{key_extra}".encode())
+    return h.hexdigest()[:16]
+
+
+def cached_select_features(
+    cache_file, X: np.ndarray, y: np.ndarray, names: Sequence[str],
+    importance_fn, top_k: int = 120, corr_threshold: float = 0.95,
+    key_extra: str = "",
+) -> SelectionResult:
+    """Load-or-compute STAGED selection artifact.
+
+    The reference computes feature selection ONCE and pickles it
+    (reference: scripts/feature_selection.py:352-358 ->
+    ``selected_features.pkl``); every training script then loads the
+    pickle (e.g. scripts/train_v34a_bazin.py:59-68) — selection is a
+    staged artifact, never a per-run cost. This is the npz equivalent,
+    keyed by a content digest of (X, y, names, params) so a data or
+    config change recomputes instead of silently reusing.
+
+    ``importance_fn() -> [F] gains`` runs the selection CV only on a
+    cache miss. ``key_extra``: digest of the fit config (rounds, params).
+    """
+    from pathlib import Path
+
+    path = Path(cache_file)
+    dig = _selection_digest(X, y, names, top_k, corr_threshold, key_extra)
+    if path.exists():
+        try:
+            z = np.load(path, allow_pickle=False)
+            if str(z["digest"]) == dig:
+                imp_df = pd.DataFrame({
+                    "feature": [n for n in z["imp_feature"]],
+                    "gain": z["imp_gain"],
+                    "normalized": z["imp_norm"],
+                })
+                pairs = pd.DataFrame({
+                    "feature_1": list(z["pair_1"]),
+                    "feature_2": list(z["pair_2"]),
+                    "correlation": z["pair_corr"],
+                })
+                return SelectionResult(
+                    selected=[n for n in z["selected"]],
+                    dropped_correlated=[n for n in z["dropped"]],
+                    importance=imp_df, high_corr_pairs=pairs)
+        except Exception:
+            pass  # stale/corrupt: recompute
+
+    res = select_features(X, names, importance_fn(), top_k, corr_threshold)
+    try:
+        import os
+        import tempfile
+
+        path.parent.mkdir(parents=True, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=path.parent, suffix=".npz")
+        os.close(fd)
+        np.savez(
+            tmp, digest=dig,
+            selected=np.asarray(res.selected, dtype="U128"),
+            dropped=np.asarray(res.dropped_correlated, dtype="U128"),
+            imp_feature=res.importance["feature"].to_numpy(dtype="U128"),
+            imp_gain=res.importance["gain"].to_numpy(),
+            imp_norm=res.importance["normalized"].to_numpy(),
+            pair_1=res.high_corr_pairs["feature_1"].to_numpy(dtype="U128"),
+            pair_2=res.high_corr_pairs["feature_2"].to_numpy(dtype="U128"),
+            pair_corr=res.high_corr_pairs["correlation"].to_numpy(np.float64),
+        )
+        os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp, path)
+    except Exception:
+        pass  # artifact cache is best-effort
+    return res

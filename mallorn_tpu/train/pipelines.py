@@ -237,10 +237,14 @@ def run_v34a(
     gp_steps: int = 200,
     selection_params: Optional[GBDTParams] = None,
     top_k: int = 120,
+    selection_cache=None,
     verbose: bool = False,
 ) -> V34aResult:
     """The v34a Bazin-backbone pipeline: features_v4 -> selected_120 ->
-    + tde + gp2d + bazin -> 5-fold GBDT (reference: train_v34a_bazin.py)."""
+    + tde + gp2d + bazin -> 5-fold GBDT (reference: train_v34a_bazin.py).
+
+    ``selection_cache``: path of the staged selection artifact (reference
+    ``selected_features.pkl`` semantics — computed once, loaded after)."""
     timings: Dict[str, float] = {}
     y = train_meta.target
 
@@ -255,9 +259,21 @@ def run_v34a(
     t0 = time.perf_counter()
     Xv4, v4_names = feature_matrix(tr_bundle["features_v4"])
     Xv4 = _finite_or_nan(Xv4)
-    sel_cv = train_cv(Xv4, y, None, selection_params or params,
-                      pad_features_to=PAD_FEATURES, verbose=False)
-    selection = select_features(Xv4, v4_names, sel_cv.importance_gain, top_k)
+
+    def _sel_importance():
+        sel_cv = train_cv(Xv4, y, None, selection_params or params,
+                          pad_features_to=PAD_FEATURES, verbose=False)
+        return sel_cv.importance_gain
+
+    if selection_cache is not None:
+        from mallorn_tpu.train.feature_selection import cached_select_features
+        from mallorn_tpu.utils.aot_cache import config_digest
+
+        selection = cached_select_features(
+            selection_cache, Xv4, y, v4_names, _sel_importance, top_k,
+            key_extra=config_digest(selection_params or params))
+    else:
+        selection = select_features(Xv4, v4_names, _sel_importance(), top_k)
     timings["selection_s"] = time.perf_counter() - t0
 
     X_train, names = assemble_v34a_matrix(tr_bundle, selection.selected)
