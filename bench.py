@@ -165,6 +165,10 @@ def main():
         extra remote compiles, not part of the driver's timed run."""
         if os.environ.get("MALLORN_BENCH_HISTCHECK") != "1":
             return
+        # bypass the executable cache: these two one-shot gate fits must
+        # not enter the manifest (they would upload ~65 MB on every cold
+        # run for a check that normally never executes)
+        _saved_cache = os.environ.pop("MALLORN_AOT_CACHE", None)
         from mallorn_tpu.train.pipelines import V34A_PARAMS
         from mallorn_tpu.trees.gbdt import train_gbdt
 
@@ -182,6 +186,8 @@ def main():
             forests[sub] = jax.tree.map(np.asarray, tuple(m.forest))
         for a, b in zip(forests[True], forests[False]):
             np.testing.assert_array_equal(a, b)
+        if _saved_cache is not None:
+            os.environ["MALLORN_AOT_CACHE"] = _saved_cache
         log("[histcheck] int8+subtraction forest == direct-build forest "
             f"at [{n}, {f}] x {p0.n_rounds} rounds depth {p0.max_depth}: OK")
 

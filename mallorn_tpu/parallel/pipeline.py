@@ -55,6 +55,7 @@ def extract_v34a_bundle_sharded(
     gp_steps: int = 100,
     chunk_size: Optional[int] = None,
     _gp_two_phase: Optional[bool] = None,
+    _device_out: bool = False,
 ) -> Dict[str, FeatureSet]:
     """All four v34a feature caches with extraction sharded over the mesh.
 
@@ -117,15 +118,26 @@ def extract_v34a_bundle_sharded(
                 object_ids=np.asarray(meta.object_ids)[idx],
                 z=_slice_meta(meta.z), ebv=_slice_meta(meta.ebv),
                 target=meta.target, spec_type=meta.spec_type)
+            # chunks stay ON DEVICE: per-chunk np.asarray conversions cost
+            # a blocking host<->device sync per (chunk, family) — ~40
+            # relay round-trips at ~66 ms each were most of the mesh
+            # extraction's gap over the single-device path
             out = extract_v34a_bundle_sharded(mesh, sub, sub_meta, gp_steps,
-                                              _gp_two_phase=gp_two_phase)
-            outs.append({fam: {k: np.asarray(v)[: len(idx)]
-                               for k, v in fs.items()}
-                         for fam, fs in out.items()})
-        inv = np.argsort(order)  # undo the count sort
-        return {fam: {k: np.concatenate([o[fam][k] for o in outs])[inv]
-                      for k in outs[0][fam]}
-                for fam in outs[0]}
+                                              _gp_two_phase=gp_two_phase,
+                                              _device_out=True)
+            outs.append({fam: (names, X[: len(idx)])
+                         for fam, (names, X) in out.items()})
+        import jax.numpy as jnp
+
+        inv = jnp.asarray(np.argsort(order))  # undo the count sort
+        result = {}
+        for fam in outs[0]:
+            names = outs[0][fam][0]
+            Xc = jnp.take(jnp.concatenate([o[fam][1] for o in outs]),
+                          inv, axis=0)
+            Xnp = np.asarray(Xc)  # ONE transfer per family
+            result[fam] = {k: Xnp[:, i] for i, k in enumerate(names)}
+        return result
 
     packed_sh = shard_packed(packed, mesh)
     n_pad = packed_sh.band_time.shape[0]
@@ -142,14 +154,19 @@ def extract_v34a_bundle_sharded(
         _gp_two_phase = bool(tc > 1.5 * multiband_gp._T_COARSE
                              and gp_steps >= 30)
 
-    def _trim(fs: FeatureSet) -> FeatureSet:
+    def _trim(fs: FeatureSet):
         """Gather a family with ONE device->host transfer (per-column
-        np.asarray costs a tunnel round-trip each — PERF.md round 2)."""
+        np.asarray costs a tunnel round-trip each — PERF.md round 2).
+        Under ``_device_out`` the stacked [n, F] matrix stays on device
+        (the chunked wrapper concatenates chunks and transfers once)."""
         import jax.numpy as jnp
 
         names = list(fs)
-        X = np.asarray(jnp.stack(
-            [jnp.asarray(fs[k], jnp.float32) for k in names], axis=1))
+        X = jnp.stack([jnp.asarray(fs[k], jnp.float32) for k in names],
+                      axis=1)
+        if _device_out:
+            return names, X[:n]
+        X = np.asarray(X)
         return {k: X[:n, i] for i, k in enumerate(names)}
 
     import os as _os
