@@ -209,13 +209,17 @@ def train_gbdt_folds_sharded(
         return jax.vmap(one)(b, y_, w_, rid, bv, yv_, vm, ks)
 
     n_tree_arrays = 7 if params.grow_policy == "lossguide" else 5
+    # best_mv is computed shard-locally on each shard's contiguous block
+    # of val rows; the spec reassembles the full vector. Multiclass fits
+    # carry margins as [K, n_val] — the sharded axis is then the LAST
+    # one, after the (vmapped) fold axis and the class axis.
+    mv_spec = (P(None, None, axis) if params.num_class >= 2
+               else P(None, axis))
     fit = shard_map(
         local_fit, mesh=mesh,
         in_specs=(P(None, axis), P(None, axis), P(None, axis), P(None, axis),
                   P(None, axis), P(None, axis), P(None, axis), P()),
-        # best_mv is computed shard-locally on each shard's contiguous
-        # block of val rows; P(None, axis) reassembles the full vector
-        out_specs=(tuple([P()] * n_tree_arrays), P(), P(), P(None, axis)),
+        out_specs=(tuple([P()] * n_tree_arrays), P(), P(), mv_spec),
         check_vma=False,
     )
     from mallorn_tpu.trees.gbdt import _folds_cache_tag

@@ -144,3 +144,55 @@ def test_row_quantum_keeps_binlane_kernel_viable():
             per_shard = padded // n_dev
             assert per_shard % 512 == 0
             assert _pick_row_chunk(per_shard, cap=2048) >= 256, (n_dev, n)
+
+
+def test_sharded_folds_multiclass_match_single_device():
+    """Distributed multiclass (v62 multi:softprob) training builds the
+    SAME class-stacked forests as the single-device fold vmap — the
+    identical-trees contract extends to K-class fits (per-class
+    histograms psum'd; best_mv carries [K, n_val] margins whose sharded
+    axis is the LAST one)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from mallorn_tpu.parallel.sharded_train import train_gbdt_folds_sharded
+    from mallorn_tpu.trees.gbdt import train_gbdt_folds
+
+    rng = np.random.default_rng(5)
+    n, K = 240, 3
+    X = rng.normal(size=(n, 6)).astype(np.float32)
+    W = rng.normal(size=(6, K))
+    y = np.argmax(X @ W + rng.normal(0, 0.4, (n, K)), axis=1).astype(np.float32)
+
+    folds = []
+    for k in range(3):
+        va = np.arange(n) % 3 == k
+        folds.append({"X": X[~va], "y": y[~va],
+                      "X_val": X[va], "y_val": y[va], "spw": 1.0})
+
+    params = GBDTParams(n_rounds=10, max_depth=3, learning_rate=0.2,
+                        subsample=0.8, colsample_bytree=0.8, num_class=K)
+    pr = ((max(len(f["X"]) for f in folds) + 7) // 8) * 8
+    pv = ((max(len(f["X_val"]) for f in folds) + 7) // 8) * 8
+    ref = train_gbdt_folds(folds, params, early_stopping_rounds=5,
+                           pad_rows_to=pr, pad_val_rows_to=pv)
+    got = train_gbdt_folds_sharded(make_mesh(8), folds, params,
+                                   early_stopping_rounds=5,
+                                   pad_rows_to=pr, pad_val_rows_to=pv)
+    for m_ref, m_got in zip(ref, got):
+        assert m_ref.forest.feature.ndim == 3  # [R, K, I] class-stacked
+        np.testing.assert_array_equal(np.asarray(m_ref.forest.feature),
+                                      np.asarray(m_got.forest.feature))
+        np.testing.assert_array_equal(np.asarray(m_ref.forest.split_bin),
+                                      np.asarray(m_got.forest.split_bin))
+        np.testing.assert_allclose(np.asarray(m_ref.forest.leaf_value),
+                                   np.asarray(m_got.forest.leaf_value),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(m_ref.eval_history),
+                                   np.asarray(m_got.eval_history),
+                                   rtol=1e-4, atol=1e-5)
+        assert m_ref.best_iteration == m_got.best_iteration
+        if m_ref.val_margin is not None and m_got.val_margin is not None:
+            np.testing.assert_allclose(m_ref.val_margin, m_got.val_margin,
+                                       rtol=1e-4, atol=1e-5)
