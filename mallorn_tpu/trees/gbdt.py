@@ -1297,13 +1297,36 @@ def train_gbdt_folds(
         pad_rows_to = ((pad_rows_to + 511) // 512) * 512
         if params.use_binlane_hist is None:
             # HBM gate: the precomputed [F, N, 128] bin-lane one-hot costs
-            # 256 B (bf16) / 128 B (int8) per (lane, feature, row);
-            # many-lane fits (e.g. the [seeds x folds] v104 ensemble) fall
-            # back to the per-level one-hot kernel.
+            # 256 B (bf16) / 128 B (int8) per (lane, feature, row). A
+            # many-lane fit (e.g. the 50-lane [seeds x folds] v104
+            # ensemble) is SPLIT into sequential lane groups that each fit
+            # the binlane budget, instead of falling back to the per-level
+            # one-hot kernel: grouped binlane is ~5x faster per level, and
+            # the one-hot path deterministically faults the TPU worker
+            # under >=20-lane vmap (tools/probe_onehot_*.py bisect; the
+            # isolated kernel passes — a Mosaic scan+vmap interaction).
             bpe = 128 if params.hist_dtype in ("int8", "i8bf16") else 256
-            bl_bytes = len(folds) * pad_features_to * pad_rows_to * bpe
-            if bl_bytes > 5.5e9:
+            per_lane = pad_features_to * pad_rows_to * bpe
+            budget = 5.5e9
+            # Lane-count ceiling, independent of HBM: vmapped fits above
+            # ~20 lanes deterministically fault the TPU worker even when
+            # the binlane tensor fits (50-lane binlane crashes, 20-lane
+            # binlane verified good end-to-end; the one-hot kernel faults
+            # at 20 and is good at 10 — tools/probe_v104_bisect.py).
+            g_cap = min(int(budget // per_lane), _MAX_VMAP_LANES_BINLANE)
+            if g_cap >= 1:
+                if g_cap < len(folds):
+                    return _train_folds_grouped(
+                        folds, params, objective, early_stopping_rounds,
+                        pad_rows_to, pad_val_rows_to, pad_features_to,
+                        g_cap)
+            else:
                 params = params._replace(use_binlane_hist=False)
+                if len(folds) > _MAX_VMAP_LANES_ONEHOT:
+                    return _train_folds_grouped(
+                        folds, params, objective, early_stopping_rounds,
+                        pad_rows_to, pad_val_rows_to, pad_features_to,
+                        _MAX_VMAP_LANES_ONEHOT)
     import os as _os
     import time as _time
 
@@ -1331,6 +1354,38 @@ def train_gbdt_folds(
               f"dispatch={_t2 - _t1:.2f}s "
               f"models={_time.perf_counter() - _t2:.2f}s", flush=True)
     return out
+
+
+# Verified-good vmap lane counts on real TPU (tools/probe_v104_bisect.py):
+# 20-lane binlane fits run clean, 50-lane binlane faults the worker;
+# 10-lane one-hot is clean, 20-lane one-hot faults. The fault is a Mosaic
+# scan+vmap interaction (isolated kernels pass at any lane count).
+_MAX_VMAP_LANES_BINLANE = 20
+_MAX_VMAP_LANES_ONEHOT = 10
+
+
+def _train_folds_grouped(folds, params, objective, early_stopping_rounds,
+                         pad_rows_to, pad_val_rows_to, pad_features_to,
+                         g_cap: int):
+    """Sequential equal-size lane groups, each under the binlane budget.
+
+    Group count = ceil(L / g_cap); every group is dup-padded to the same
+    lane count (repeating the last fold) so ALL groups share ONE compiled
+    executable; the duplicate models are dropped. Lanes are independent
+    under vmap, so grouping is bit-exact vs a single dispatch.
+    """
+    L = len(folds)
+    n_groups = -(-L // g_cap)
+    gsize = -(-L // n_groups)
+    folds = list(folds) + [folds[-1]] * (n_groups * gsize - L)
+    models = []
+    for i in range(0, len(folds), gsize):
+        models.extend(train_gbdt_folds(
+            folds[i:i + gsize], params, objective=objective,
+            early_stopping_rounds=early_stopping_rounds,
+            pad_rows_to=pad_rows_to, pad_val_rows_to=pad_val_rows_to,
+            pad_features_to=pad_features_to))
+    return models[:L]
 
 
 def _folds_cache_tag(params: GBDTParams, objective, early_stop: int) -> str:

@@ -53,3 +53,31 @@ def test_seed_diversity_and_averaging():
     assert np.isfinite(list(f1s.values())).all()
     assert oof.shape == (len(y),) and test.shape == (len(Xt),)
     assert 0 < oof.mean() < 1
+
+
+def test_grouped_lane_dispatch_bit_identical():
+    """The many-lane HBM-budget split (_train_folds_grouped) must produce
+    bit-identical models to the single vmapped dispatch — lanes are
+    independent, grouping only changes dispatch batching."""
+    from mallorn_tpu.trees.gbdt import (_train_folds_grouped,
+                                        train_gbdt_folds)
+
+    X, y, _ = _data(n=240)
+    rng = np.random.default_rng(3)
+    folds = []
+    for seed in (7, 8, 9):
+        idx = rng.permutation(len(y))
+        tr, va = idx[:180], idx[180:]
+        folds.append({"X": X[tr], "y": y[tr], "w": None,
+                      "X_val": X[va], "y_val": y[va], "spw": 1.0,
+                      "seed": seed})
+    p = PARAMS._replace(n_rounds=15)
+    single = train_gbdt_folds(folds, p, early_stopping_rounds=5)
+    grouped = _train_folds_grouped(folds, p, None, 5,
+                                   None, None, None, g_cap=2)
+    assert len(single) == len(grouped) == 3
+    for ms, mg in zip(single, grouped):
+        for a, b in zip(ms.forest, mg.forest):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert ms.best_iteration == mg.best_iteration
+        np.testing.assert_array_equal(ms.eval_history, mg.eval_history)
