@@ -39,16 +39,17 @@ def cmd_synth(args):
 
 
 FAMILIES = ("features_v4", "tde_physics", "multiband_gp", "bazin",
-            "research", "powerlaw", "tde_models", "time_to_decline",
-            "fourier", "enhanced_colors", "high_snr", "cesium", "gp1d",
-            "peak_ordering", "fwhm", "temp_fwhm")
+            "research", "powerlaw", "powerlaw_ratio", "tde_models",
+            "time_to_decline", "fourier", "enhanced_colors", "high_snr",
+            "cesium", "gp1d", "peak_ordering", "fwhm", "temp_fwhm")
 
 
 def _extract_family(family, packed, meta, gp_steps):
     from mallorn_tpu.features import (bazin, cesium, enhanced_colors, fourier,
                                       fwhm, gp1d, high_snr, multiband_gp,
-                                      peak_ordering, powerlaw, research, tde,
-                                      tde_models, temp_fwhm, time_to_decline)
+                                      peak_ordering, powerlaw, powerlaw_ratio,
+                                      research, tde, tde_models, temp_fwhm,
+                                      time_to_decline)
     from mallorn_tpu.features.base import chunked_extract
     from mallorn_tpu.train.pipelines import extract_features_v4
 
@@ -61,6 +62,7 @@ def _extract_family(family, packed, meta, gp_steps):
         "bazin": (bazin.extract, ()),
         "research": (research.extract, (meta,)),
         "powerlaw": (powerlaw.extract, ()),
+        "powerlaw_ratio": (powerlaw_ratio.extract, ()),
         "tde_models": (tde_models.extract, ()),
         "time_to_decline": (time_to_decline.extract, ()),
         "fourier": (fourier.extract, ()),
@@ -342,12 +344,13 @@ def cmd_train(args):
             result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold,
                       "n_features": Xtr2.shape[1], "n_dered": len(d_names)}
             test_preds, threshold = cv.test_preds, cv.best_threshold
-        elif args.config in ("v56", "v58", "v59b"):
+        elif args.config in ("v56", "v58", "v59b", "v65"):
             # script-level feature augmentation of the v34a backbone
             # (reference: scripts/train_v56_agn_peak_ordering.py:208-236,
-            #  scripts/train_v58_fwhm.py:190-214, train_v59b_temp_at_fwhm.py)
+            #  scripts/train_v58_fwhm.py:190-214, train_v59b_temp_at_fwhm.py,
+            #  train_v65_powerlaw_ratio.py:47-170)
             fam = {"v56": "peak_ordering", "v58": "fwhm",
-                   "v59b": "temp_fwhm"}[args.config]
+                   "v59b": "temp_fwhm", "v65": "powerlaw_ratio"}[args.config]
             p_tr, p_names = _load_matrices(args.cache, "train", [fam])
             Xtr2 = pipelines._finite_or_nan(np.concatenate([Xtr, p_tr], axis=1))
             Xte2 = None
@@ -485,7 +488,7 @@ def main(argv=None):
     pt.add_argument("--cache", required=True)
     pt.add_argument("--config", default="v92d",
                     choices=["baseline", "v16", "v19", "v34a", "v42", "v55", "v56", "v57", "v58", "v59b",
-                             "v60", "v62", "v92", "v92a", "v92b", "v92c", "v92d",
+                             "v60", "v62", "v65", "v92", "v92a", "v92b", "v92c", "v92d",
                              "v97", "v102", "v102a", "v102b", "v102c",
                              "v104", "v108", "v110", "v111", "v115c", "v118", "v119"])
     pt.add_argument("--data-external", default=None,

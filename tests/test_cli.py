@@ -20,7 +20,7 @@ from mallorn_tpu.cli.main import main
 pytestmark = pytest.mark.slow
 
 ALL_CONFIGS = ["baseline", "v19", "v34a", "v42", "v55", "v56", "v57", "v58", "v59b",
-               "v60", "v62",
+               "v60", "v62", "v65",
                "v92", "v92a", "v92b", "v92c", "v92d", "v97",
                "v102a", "v102b", "v102c", "v104", "v108",
                "v110", "v111", "v115c", "v118", "v119"]
@@ -32,7 +32,8 @@ N_TEST = int(N_TRAIN * 2.33)  # cmd_synth's test-split sizing
 # the families the 17 train configs consume; the remaining extract-only
 # families are covered by their feature-module tests
 TRAIN_FAMILIES = ("features_v4,tde_physics,multiband_gp,bazin,"
-                  "research,powerlaw,peak_ordering,fwhm,temp_fwhm")
+                  "research,powerlaw,powerlaw_ratio,peak_ordering,fwhm,"
+                  "temp_fwhm")
 
 
 @pytest.fixture(scope="module")
