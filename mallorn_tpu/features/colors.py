@@ -66,11 +66,17 @@ def _kernel(v: ObjectView) -> FeatureSet:
     ref_peak = jnp.where(jnp.isnan(ref_peak), band_peak(3), ref_peak)
     feats["peak_mjd"] = ref_peak  # offset added in extract()
 
-    # interpolated flux per band at each epoch
+    # interpolated flux per band at each epoch — ONE vmapped interp over
+    # the 10 epoch targets: the interp body compiles once instead of 10x
+    # (the unrolled loop dominated this kernel's executable size)
+    import jax as _jax
+
+    targets = ref_peak + jnp.asarray([dt for _, dt in EPOCHS], jnp.float32)
+    fl_all = _jax.vmap(
+        lambda tgt: M.interp_at(t, f, mask, tgt, max_gap=50.0))(targets)
     epoch_flux = {}
-    for name, dt in EPOCHS:
-        target = ref_peak + dt
-        fl = M.interp_at(t, f, mask, target, max_gap=50.0)  # [6]
+    for ei, (name, dt) in enumerate(EPOCHS):
+        fl = fl_all[ei]  # [6]
         epoch_flux[name] = fl
         for b1, b2, pname in COLOR_PAIRS:
             feats[f"{pname}_{name}"] = _color(fl[b1], fl[b2])

@@ -40,11 +40,14 @@ def extract(packed: PackedLightcurves, meta=None, n_steps: int = 100,
 
     Objects are processed in *valid-count-sorted* order and each chunk's
     time axis is compacted (valid points gathered to the front) and
-    truncated to the chunk's max count rounded up to a multiple of 32 —
+    truncated to the chunk's max count rounded up to a multiple of 64 —
     so a chunk of sparse objects pays a (T_c/T)^3 fraction of the full
     Cholesky cost instead of everyone paying the dataset-max T. Rounding
-    to 32 keeps the set of compiled shapes small (2-3 per dataset) and
-    shared between the train and test splits.
+    to 64 keeps the set of compiled shapes SMALL (2 per dataset at
+    competition scale, shared between train and test): each compiled
+    gp2d executable is 18-28 MB, and the cold-start floor is the serial
+    upload of every cached executable, so one fewer shape is worth more
+    than the ~1.7x Cholesky premium the rounded-up chunks pay.
     """
     import numpy as np
 
@@ -58,8 +61,8 @@ def extract(packed: PackedLightcurves, meta=None, n_steps: int = 100,
 
     from mallorn_tpu.utils.aot_cache import call_cached
 
-    tc_global = min(T, int(np.ceil(max(int(counts.max(initial=1)), 32) / 32)
-                           * 32))
+    tc_global = min(T, int(np.ceil(max(int(counts.max(initial=1)), 32) / 64)
+                           * 64))
     # the two-phase gate is decided ONCE from the dataset-global
     # compaction width so chunking (and chunk membership) never changes
     # which optimization path an object takes — features must be
@@ -80,7 +83,7 @@ def extract(packed: PackedLightcurves, meta=None, n_steps: int = 100,
               for x in packed[:-1]], time_offset=packed.time_offset)
         if len(idx) < chunk_size:
             sub = pad_objects(sub, chunk_size)
-        tc = min(T, int(np.ceil(max(int(counts[idx].max()), 32) / 32) * 32))
+        tc = min(T, int(np.ceil(max(int(counts[idx].max()), 32) / 64) * 64))
         out = call_cached(_extract_chunk, (sub, n_steps, tc, two_phase),
                           tag="gp2d", static_argnums=(1, 2, 3))
         outs.append({k: v[: len(idx)] for k, v in out.items()})
