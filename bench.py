@@ -82,7 +82,35 @@ def get_data():
     return (tr_p, tr_m), (te_p, te_m)
 
 
+def _probe_backend(timeout_s: float = 180.0) -> bool:
+    """Fail fast when the TPU tunnel is down instead of hanging forever.
+
+    Backend init through the axon relay blocks indefinitely when the
+    tunnel is dead; probe it in a subprocess with a hard timeout so the
+    driver's bench run records an explicit error line rather than a
+    stall. Probing costs one extra process-level backend init (~5 s when
+    healthy) — cheap next to a hung round-end bench."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _probe_backend():
+        log("backend unreachable (tunnel down?) — emitting error JSON")
+        print(json.dumps({
+            "metric": "e2e_v92d_pipeline_seconds_10178obj_steady_state",
+            "value": None, "unit": "seconds", "vs_baseline": None,
+            "error": "TPU backend unreachable within 180s probe timeout",
+        }), flush=True)
+        return
+
     import jax
 
     cache_dir = Path(__file__).parent / ".jax_cache"

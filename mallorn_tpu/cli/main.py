@@ -41,15 +41,17 @@ def cmd_synth(args):
 FAMILIES = ("features_v4", "tde_physics", "multiband_gp", "bazin",
             "research", "powerlaw", "powerlaw_ratio", "tde_models",
             "time_to_decline", "fourier", "enhanced_colors", "high_snr",
-            "cesium", "gp1d", "peak_ordering", "fwhm", "temp_fwhm")
+            "cesium", "gp1d", "peak_ordering", "fwhm", "temp_fwhm",
+            "advanced", "advanced_physics", "blackbody", "dtw")
 
 
-def _extract_family(family, packed, meta, gp_steps):
-    from mallorn_tpu.features import (bazin, cesium, enhanced_colors, fourier,
-                                      fwhm, gp1d, high_snr, multiband_gp,
-                                      peak_ordering, powerlaw, powerlaw_ratio,
-                                      research, tde, tde_models, temp_fwhm,
-                                      time_to_decline)
+def _extract_family(family, packed, meta, gp_steps, dtw_templates=None):
+    from mallorn_tpu.features import (advanced, advanced_physics, bazin,
+                                      blackbody, cesium, dtw, enhanced_colors,
+                                      fourier, fwhm, gp1d, high_snr,
+                                      multiband_gp, peak_ordering, powerlaw,
+                                      powerlaw_ratio, research, tde,
+                                      tde_models, temp_fwhm, time_to_decline)
     from mallorn_tpu.features.base import chunked_extract
     from mallorn_tpu.train.pipelines import extract_features_v4
 
@@ -57,6 +59,18 @@ def _extract_family(family, packed, meta, gp_steps):
         return extract_features_v4(packed, meta)
     if family == "multiband_gp":
         return multiband_gp.extract(packed, meta, n_steps=gp_steps)
+    # these vmap the full batch internally (no per-chunk dispatch needed)
+    if family == "advanced":
+        return advanced.extract(packed, meta)
+    if family == "advanced_physics":
+        return advanced_physics.extract(packed, meta)
+    if family == "blackbody":
+        return blackbody.extract(packed, meta)
+    if family == "dtw":
+        if dtw_templates is None:
+            raise ValueError("dtw extraction needs templates built from the "
+                             "labeled train split (dtw.build_templates)")
+        return dtw.extract(packed, dtw_templates, meta)
     table = {
         "tde_physics": (tde.extract, ()),
         "bazin": (bazin.extract, ()),
@@ -87,13 +101,22 @@ def cmd_extract(args):
     data = load_all_data(Path(args.data))
     cache = Path(args.cache)
     families = args.families.split(",") if args.families else FAMILIES
+    # DTW class templates come from the LABELED train split and are shared
+    # by both splits (reference src/features/dtw_features.py:91-150 builds
+    # them from train medians and reuses them for test extraction).
+    dtw_templates = None
+    if "dtw" in families and "train_packed" in data:
+        from mallorn_tpu.features.dtw import build_templates
+        dtw_templates = build_templates(data["train_packed"],
+                                        data["train_meta"].target)
     for split in ("train", "test"):
         if f"{split}_packed" not in data:
             continue
         packed, meta = data[f"{split}_packed"], data[f"{split}_meta"]
         for family in families:
             t0 = time.perf_counter()
-            feats = _extract_family(family, packed, meta, args.gp_steps)
+            feats = _extract_family(family, packed, meta, args.gp_steps,
+                                    dtw_templates=dtw_templates)
             save_features(cache / f"{family}_{split}.npz", feats, meta.object_ids)
             _log(f"{split}/{family}: {len(feats)} features "
                  f"in {time.perf_counter() - t0:.1f}s")
@@ -344,13 +367,22 @@ def cmd_train(args):
             result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold,
                       "n_features": Xtr2.shape[1], "n_dered": len(d_names)}
             test_preds, threshold = cv.test_preds, cv.best_threshold
-        elif args.config in ("v56", "v58", "v59b", "v65"):
+        elif args.config in ("v9", "v20", "v30", "v35", "v40", "v47", "v48",
+                             "v56", "v58", "v59b", "v64", "v65", "v66"):
             # script-level feature augmentation of the v34a backbone
             # (reference: scripts/train_v56_agn_peak_ordering.py:208-236,
             #  scripts/train_v58_fwhm.py:190-214, train_v59b_temp_at_fwhm.py,
-            #  train_v65_powerlaw_ratio.py:47-170)
-            fam = {"v56": "peak_ordering", "v58": "fwhm",
-                   "v59b": "temp_fwhm", "v65": "powerlaw_ratio"}[args.config]
+            #  train_v65_powerlaw_ratio.py:47-170, train_v9_dtw.py,
+            #  train_v20_advanced.py / train_v30_advanced_physics.py,
+            #  train_v35_cesium.py, train_v40_fourier.py,
+            #  train_v47_enhanced_colors.py, train_v48_time_to_decline.py,
+            #  train_v64_blackbody_radius.py, train_v66_high_snr.py)
+            fam = {"v9": "dtw", "v20": "advanced", "v30": "advanced_physics",
+                   "v35": "cesium", "v40": "fourier",
+                   "v47": "enhanced_colors", "v48": "time_to_decline",
+                   "v56": "peak_ordering", "v58": "fwhm",
+                   "v59b": "temp_fwhm", "v64": "blackbody",
+                   "v65": "powerlaw_ratio", "v66": "high_snr"}[args.config]
             p_tr, p_names = _load_matrices(args.cache, "train", [fam])
             Xtr2 = pipelines._finite_or_nan(np.concatenate([Xtr, p_tr], axis=1))
             Xte2 = None
@@ -361,6 +393,63 @@ def cmd_train(args):
                           pad_features_to=pipelines.PAD_FEATURES, verbose=True)
             result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold,
                       "n_features": Xtr2.shape[1]}
+            test_preds, threshold = cv.test_preds, cv.best_threshold
+        elif args.config == "v45":
+            # physics-binned categorical columns appended to the backbone
+            # (reference: src/features/catboost_categorical.py:21-159 +
+            #  scripts/train_v45_catboost_categorical.py — the binning is the
+            #  portable part; the trees consume the integer codes directly)
+            from mallorn_tpu.features.categorical import add_categorical_features
+
+            def _with_cats(X, nms):
+                cats, cat_names = add_categorical_features(
+                    dict(zip(nms, np.asarray(X, np.float64).T)))
+                if not cat_names:
+                    return X, []
+                cols = np.stack([cats[c] for c in cat_names], axis=1)
+                return np.concatenate([X, cols], axis=1), cat_names
+
+            Xtr2, cat_names = _with_cats(Xtr, names)
+            Xtr2 = pipelines._finite_or_nan(Xtr2)
+            Xte2 = None
+            if object_ids_test is not None:
+                Xte2, _ = _with_cats(Xte, names)
+                Xte2 = pipelines._finite_or_nan(Xte2)
+            cv = train_cv(Xtr2, y, Xte2, R(pipelines.V34A_PARAMS),
+                          pad_features_to=pipelines.PAD_FEATURES, verbose=True)
+            result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold,
+                      "n_features": Xtr2.shape[1],
+                      "n_categorical": len(cat_names)}
+            test_preds, threshold = cv.test_preds, cv.best_threshold
+        elif args.config == "v105":
+            # physics-motivated interaction features, top-K by point-biserial
+            # correlation on TRAIN, appended to the backbone (reference:
+            # src/features/interactions.py:23-196 + train_v105 runs)
+            from mallorn_tpu.features.interactions import (
+                create_physics_interactions, select_top_interactions)
+
+            tr_feats = dict(zip(names, np.asarray(Xtr, np.float64).T))
+            inter_tr = create_physics_interactions(tr_feats)
+            keep = select_top_interactions(inter_tr, y, top_k=30)
+            if keep:
+                Xtr2 = np.concatenate(
+                    [Xtr, np.stack([inter_tr[k] for k in keep], axis=1)], axis=1)
+            else:
+                Xtr2 = Xtr
+            Xtr2 = pipelines._finite_or_nan(Xtr2)
+            Xte2 = None
+            if object_ids_test is not None:
+                inter_te = create_physics_interactions(
+                    dict(zip(names, np.asarray(Xte, np.float64).T)))
+                Xte2 = (np.concatenate(
+                    [Xte, np.stack([inter_te[k] for k in keep], axis=1)], axis=1)
+                    if keep else Xte)
+                Xte2 = pipelines._finite_or_nan(Xte2)
+            cv = train_cv(Xtr2, y, Xte2, R(pipelines.V34A_PARAMS),
+                          pad_features_to=pipelines.PAD_FEATURES, verbose=True)
+            result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold,
+                      "n_features": Xtr2.shape[1],
+                      "n_interactions": len(keep)}
             test_preds, threshold = cv.test_preds, cv.best_threshold
         elif args.config == "v55":
             p_tr, p_names = _load_matrices(args.cache, "train", ["powerlaw"])
@@ -487,10 +576,13 @@ def main(argv=None):
     pt.add_argument("--data", required=True)
     pt.add_argument("--cache", required=True)
     pt.add_argument("--config", default="v92d",
-                    choices=["baseline", "v16", "v19", "v34a", "v42", "v55", "v56", "v57", "v58", "v59b",
-                             "v60", "v62", "v65", "v92", "v92a", "v92b", "v92c", "v92d",
+                    choices=["baseline", "v9", "v16", "v19", "v20", "v30", "v34a",
+                             "v35", "v40", "v42", "v45", "v47", "v48",
+                             "v55", "v56", "v57", "v58", "v59b",
+                             "v60", "v62", "v64", "v65", "v66",
+                             "v92", "v92a", "v92b", "v92c", "v92d",
                              "v97", "v102", "v102a", "v102b", "v102c",
-                             "v104", "v108", "v110", "v111", "v115c", "v118", "v119"])
+                             "v104", "v105", "v108", "v110", "v111", "v115c", "v118", "v119"])
     pt.add_argument("--data-external", default=None,
                     help="external labeled dataset dir (v16)")
     pt.add_argument("--cache-external", default=None,

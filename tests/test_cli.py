@@ -19,21 +19,24 @@ from mallorn_tpu.cli.main import main
 
 pytestmark = pytest.mark.slow
 
-ALL_CONFIGS = ["baseline", "v19", "v34a", "v42", "v55", "v56", "v57", "v58", "v59b",
-               "v60", "v62", "v65",
+ALL_CONFIGS = ["baseline", "v9", "v19", "v20", "v30", "v34a",
+               "v35", "v40", "v42", "v45", "v47", "v48",
+               "v55", "v56", "v57", "v58", "v59b",
+               "v60", "v62", "v64", "v65", "v66",
                "v92", "v92a", "v92b", "v92c", "v92d", "v97",
-               "v102a", "v102b", "v102c", "v104", "v108",
+               "v102a", "v102b", "v102c", "v104", "v105", "v108",
                "v110", "v111", "v115c", "v118", "v119"]
 
 
 N_TRAIN = 120
 N_TEST = int(N_TRAIN * 2.33)  # cmd_synth's test-split sizing
 
-# the families the 17 train configs consume; the remaining extract-only
-# families are covered by their feature-module tests
+# the families the train configs consume; every feature family is also
+# covered by its own feature-module tests
 TRAIN_FAMILIES = ("features_v4,tde_physics,multiband_gp,bazin,"
                   "research,powerlaw,powerlaw_ratio,peak_ordering,fwhm,"
-                  "temp_fwhm")
+                  "temp_fwhm,dtw,advanced,advanced_physics,cesium,fourier,"
+                  "enhanced_colors,time_to_decline,blackbody,high_snr")
 
 
 @pytest.fixture(scope="module")
