@@ -94,7 +94,17 @@ def test_predict_from_saved_models(workspace):
 
 
 def test_console_entrypoint_subprocess(workspace):
-    """The installed-style entry point works as an actual process."""
+    """The installed-style entry point works as an actual process.
+
+    The child runs on CPU: stripping PALLAS_AXON_POOL_IPS stops the
+    sitecustomize TPU-backend registration (a dead tunnel would hang the
+    fresh process forever — this test is about entrypoint plumbing, not
+    the backend)."""
+    import os
+
+    env = {k: v for k, v in os.environ.items()
+           if k != "PALLAS_AXON_POOL_IPS"}
+    env["JAX_PLATFORMS"] = "cpu"
     r = subprocess.run(
         [sys.executable, "-m", "mallorn_tpu.cli.main", "train",
          "--data", str(workspace / "data"),
@@ -102,7 +112,7 @@ def test_console_entrypoint_subprocess(workspace):
          "--config", "baseline", "--rounds", "8",
          "--out", str(workspace / "artifacts_subproc")],
         capture_output=True, text=True, timeout=900,
-        cwd=Path(__file__).parent.parent)
+        cwd=Path(__file__).parent.parent, env=env)
     assert r.returncode == 0, r.stderr[-2000:]
     assert (workspace / "artifacts_subproc" / "result_baseline.json").exists()
 
