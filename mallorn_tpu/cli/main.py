@@ -509,6 +509,41 @@ def cmd_train(args):
             result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold,
                       "teacher_oof_f1": teacher.best_f1}
             test_preds, threshold = cv.test_preds, cv.best_threshold
+        elif args.config == "v93":
+            # EasyEnsemble: balanced undersampled model ensemble
+            # (reference: train_v93_easy_ensemble.py, v93a shape: 10
+            # models, 1:1 balance)
+            cv = pipelines.run_easy_ensemble(
+                Xtr, y, Xte, n_estimators=10, undersample_ratio=1.0,
+                params=R(pipelines.V34A_PARAMS._replace(n_rounds=300)),
+                verbose=True)
+            result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold,
+                      "in_sample_f1": True}
+            test_preds, threshold = cv.test_preds, cv.best_threshold
+        elif args.config.startswith("v103"):
+            # CV pseudo-labels, no test leakage: student regresses on
+            # blend*hard + (1-blend)*teacher_OOF (reference:
+            # train_v103_cv_pseudo.py:199-236 — the leak-free
+            # distillation shape, T=1)
+            blend = {"v103": 0.5, "v103a": 0.0, "v103b": 0.5,
+                     "v103c": 0.8}[args.config]
+            teacher = train_cv(Xtr, y, Xte, R(pipelines.V34A_PARAMS))
+            cv = pipelines.run_distillation(
+                Xtr, y, teacher.oof_preds, Xte,
+                alpha=blend, temperature=1.0,
+                params=R(pipelines.SOFT_LABEL_PARAMS), verbose=True)
+            result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold,
+                      "blend": blend, "teacher_oof_f1": teacher.best_f1}
+            test_preds, threshold = cv.test_preds, cv.best_threshold
+        elif args.config == "v106":
+            # MixUp augmentation (reference: train_v106_mixup.py, v106a
+            # shape: alpha=0.2, 3 seeds x 5 folds)
+            cv = pipelines.run_mixup(
+                Xtr, y, Xte, alpha=0.2,
+                params=R(pipelines.SOFT_LABEL_PARAMS), verbose=True)
+            result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold,
+                      "seed_f1s": cv.fold_f1s}
+            test_preds, threshold = cv.test_preds, cv.best_threshold
         else:
             raise SystemExit(f"unknown config {args.config}")
 
@@ -580,9 +615,11 @@ def main(argv=None):
                              "v35", "v40", "v42", "v45", "v47", "v48",
                              "v55", "v56", "v57", "v58", "v59b",
                              "v60", "v62", "v64", "v65", "v66",
-                             "v92", "v92a", "v92b", "v92c", "v92d",
+                             "v92", "v92a", "v92b", "v92c", "v92d", "v93",
                              "v97", "v102", "v102a", "v102b", "v102c",
-                             "v104", "v105", "v108", "v110", "v111", "v115c", "v118", "v119"])
+                             "v103", "v103a", "v103b", "v103c",
+                             "v104", "v105", "v106", "v108",
+                             "v110", "v111", "v115c", "v118", "v119"])
     pt.add_argument("--data-external", default=None,
                     help="external labeled dataset dir (v16)")
     pt.add_argument("--cache-external", default=None,

@@ -159,6 +159,7 @@ def train_cv(
     mesh=None,
     extra_train: Optional[Tuple] = None,
     y_train_soft: Optional[np.ndarray] = None,
+    train_transform=None,
     verbose: bool = False,
 ) -> CVResult:
     """Stratified K-fold GBDT training with OOF + averaged test predictions.
@@ -187,6 +188,16 @@ def train_cv(
     train_v102_label_smoothing.py:113-137: the model trains and
     early-stops on the SMOOTHED labels while fold stratification, OOF F1
     and the threshold sweep stay on the hard ``y``).
+
+    ``train_transform``: ``(X_f, y_f, w_f, fold_index) -> (X, y, w)``
+    applied to each fold's PRIMARY training rows only (before any
+    ``extra_train`` append); validation rows, OOF and the threshold
+    sweep stay on the untouched originals. This is the per-fold
+    augmentation hook (MixUp v106 — reference
+    train_v106_mixup.py:123-164 mixes X_tr within the fold and
+    validates on the original labels). Folds then carry their own
+    matrices, so the shared-parent binning shortcut is skipped and the
+    returned ``y`` may be float (soft).
     """
     y = np.asarray(y)
     y_soft = (np.asarray(y_train_soft, np.float32)
@@ -213,7 +224,7 @@ def train_cv(
     pad_train = max(len(tr) for tr, _ in splits) + n_ext
     pad_val = max(len(va) for _, va in splits)
 
-    def fold_rows(tr):
+    def fold_rows(tr, fold_index=0):
         """Primary fold-train rows (+ the full external set, v16).
 
         Returns (X, y_train, y_hard, w): ``y_train`` is what the objective
@@ -222,6 +233,13 @@ def train_cv(
         Xf, yh = X_train[tr], y[tr]
         yf = y_soft[tr] if y_soft is not None else yh
         wf = sample_weight[tr] if sample_weight is not None else None
+        if train_transform is not None:
+            Xf, yf, wf = train_transform(
+                np.asarray(Xf, np.float32),
+                np.asarray(yf, np.float32), wf, fold_index)
+            # hard labels exist only for scale_pos_weight; round the
+            # (possibly soft) transformed targets for that count
+            yh = (np.asarray(yf) >= 0.5).astype(y.dtype)
         if X_ext is not None:
             Xf = np.vstack([np.asarray(Xf, np.float32), X_ext])
             yf = np.concatenate([yf, y_ext])
@@ -241,19 +259,27 @@ def train_cv(
         if X_ext is not None:
             X_parent = np.vstack([X_parent, X_ext])
         folds = []
-        for tr, va in splits:
-            Xf, yf, yh, wf = fold_rows(tr)
+        for k, (tr, va) in enumerate(splits):
+            Xf, yf, yh, wf = fold_rows(tr, k)
             tr_idx = (tr if X_ext is None
                       else np.concatenate([tr, len(y) + np.arange(n_ext)]))
-            folds.append({
+            fold = {
                 "X": Xf, "y": yf, "w": wf,
                 "X_val": X_train[va],
                 # the early-stop metric sees the soft val labels too
                 # (reference eval_set=[(X_val, y_smooth[val_idx])])
                 "y_val": y_soft[va] if y_soft is not None else y[va],
                 "spw": fold_spw(yh), "seed": params.seed,
-                "X_parent": X_parent, "tr_idx": tr_idx, "va_idx": va,
-            })
+            }
+            # transformed folds carry their own values; the rows are no
+            # longer a subset of the parent matrix, so the shared-sort
+            # binning shortcut does not apply
+            if train_transform is None:
+                fold.update({"X_parent": X_parent, "tr_idx": tr_idx,
+                             "va_idx": va})
+            folds.append(fold)
+        if train_transform is not None:
+            pad_train = max(len(f["X"]) for f in folds)
         if mesh is not None:
             from mallorn_tpu.parallel.sharded_train import train_gbdt_folds_sharded
 
@@ -307,7 +333,7 @@ def train_cv(
         if batched_folds:
             model = models[fold]
         else:
-            Xf, yf, yh, w = fold_rows(tr)
+            Xf, yf, yh, w = fold_rows(tr, fold)
             model = train_gbdt(
                 Xf, yf, params,
                 sample_weight=w,

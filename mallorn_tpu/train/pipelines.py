@@ -747,3 +747,144 @@ def run_pseudo_label(
     if verbose:
         print(f"   pseudo-labels: +{hi.sum()} TDE, +{lo.sum()} non-TDE", flush=True)
     return train_cv(X_aug, y_aug, X_test, params, sample_weight=w_aug)
+
+
+def mixup_matrix(X: np.ndarray, y: np.ndarray,
+                 sample_weight: Optional[np.ndarray],
+                 alpha: float, seed: int):
+    """MixUp on a feature matrix (reference: train_v106_mixup.py:123-164).
+
+    lambda ~ Beta(alpha, alpha), folded to >= 0.5 so the original row
+    stays dominant; rows are REPLACED by their mixes (not appended);
+    weights combine by geometric mean. NaN cells poison the mix exactly
+    as in the reference's float arithmetic (NaN in -> NaN out)."""
+    rng = np.random.default_rng(seed)
+    n = len(X)
+    lam = rng.beta(alpha, alpha, size=n).astype(np.float32)
+    lam = np.maximum(lam, 1.0 - lam)
+    idx = rng.permutation(n)
+    X_mix = lam[:, None] * X + (1.0 - lam[:, None]) * X[idx]
+    y_mix = lam * y + (1.0 - lam) * y[idx]
+    w_mix = None
+    if sample_weight is not None:
+        w_mix = np.sqrt(sample_weight * sample_weight[idx]).astype(np.float32)
+    return X_mix.astype(np.float32), y_mix.astype(np.float32), w_mix
+
+
+def run_mixup(
+    X_train: np.ndarray, y: np.ndarray,
+    X_test: Optional[np.ndarray] = None,
+    alpha: float = 0.2,
+    seeds: Sequence[int] = (42, 123, 456),
+    params: GBDTParams = SOFT_LABEL_PARAMS,
+    sample_weight: Optional[np.ndarray] = None,
+    n_folds: int = 5,
+    verbose: bool = False,
+) -> CVResult:
+    """v106: MixUp-augmented training (reference: train_v106_mixup.py).
+
+    Per seed: stratified K-fold; each fold's TRAINING rows are replaced
+    by Beta(alpha, alpha) mixes (fold-local, so validation rows never
+    leak into training through a mix); the model regresses on the soft
+    mixed labels and validates/early-stops on the original hard labels
+    (reference :249-257 ``eval_set=[(X_val, y_val)]``). OOF/test
+    predictions are clipped to [0, 1] and averaged over seeds; the
+    threshold sweep runs on the seed-ensemble OOF (reference :283-291)."""
+    y = np.asarray(y)
+    oof_runs, test_runs, per_seed_f1 = [], [], []
+    models, importance = [], None
+    for seed in seeds:
+        cv = train_cv(
+            X_train, y, X_test, params,
+            sample_weight=sample_weight,
+            use_scale_pos_weight=False,
+            objective=objectives.squarederror,
+            sigmoid_outputs=False,
+            n_folds=n_folds, seed=seed,
+            train_transform=lambda Xf, yf, wf, k, _s=seed: mixup_matrix(
+                Xf, yf, wf, alpha, _s + k + 1),
+            pad_features_to=PAD_FEATURES, verbose=verbose)
+        oof_runs.append(np.clip(cv.oof_preds, 0.0, 1.0))
+        if X_test is not None:
+            test_runs.append(np.clip(cv.test_preds, 0.0, 1.0))
+        per_seed_f1.append(cv.best_f1)
+        models.extend(cv.models)
+        imp = np.asarray(cv.importance_gain)
+        importance = imp if importance is None else importance + imp
+        if verbose:
+            print(f"   mixup seed {seed}: OOF F1 {cv.best_f1:.4f}", flush=True)
+    oof = np.mean(oof_runs, axis=0)
+    test_preds = np.mean(test_runs, axis=0) if test_runs else None
+    best_f1, best_threshold = threshold_sweep(y, oof,
+                                              np.linspace(0.05, 0.5, 200))
+    return CVResult(oof_preds=oof, test_preds=test_preds,
+                    fold_f1s=per_seed_f1, best_f1=best_f1,
+                    best_threshold=best_threshold,
+                    importance_gain=importance, models=models)
+
+
+def run_easy_ensemble(
+    X_train: np.ndarray, y: np.ndarray,
+    X_test: Optional[np.ndarray] = None,
+    n_estimators: int = 10,
+    undersample_ratio: float = 1.0,
+    params: GBDTParams = V34A_PARAMS._replace(n_rounds=300),
+    sample_weight: Optional[np.ndarray] = None,
+    seed: int = 42,
+    verbose: bool = False,
+) -> CVResult:
+    """v93: EasyEnsemble — N models on balanced undersampled subsets
+    (reference: train_v93_easy_ensemble.py:119-183; Liu et al.,
+    'Exploratory Undersampling for Class-Imbalance Learning').
+
+    Each subset keeps EVERY minority row plus ``ratio x n_minority``
+    majority rows sampled without replacement; models train for a fixed
+    round count with no early stopping (reference :164-170 passes no
+    eval set) and predictions average across the ensemble. All N fits
+    run as ONE vmapped computation (equal subset shapes). The threshold
+    sweep runs on the averaged FULL-TRAIN predictions — in-sample, the
+    reference's own quirk (:176-180 predicts dfull) — so the reported
+    F1 is optimistic; judge it by the test predictions."""
+    from mallorn_tpu.trees.gbdt import predict_margin_folds, train_gbdt_folds
+
+    y = np.asarray(y)
+    rng = np.random.default_rng(seed)
+    minority = np.where(y == 1)[0]
+    majority = np.where(y == 0)[0]
+    n_maj = min(int(len(minority) * undersample_ratio), len(majority))
+    # the fold trainer requires an eval set; with no early stopping it is
+    # metric-tracking only, so a tiny shared dummy keeps it free
+    X_dummy_val = np.asarray(X_train[:8], np.float32)
+    y_dummy_val = y[:8].astype(np.float32)
+    folds = []
+    for i in range(n_estimators):
+        sub = np.concatenate([minority,
+                              rng.choice(majority, size=n_maj, replace=False)])
+        rng.shuffle(sub)
+        folds.append({
+            "X": np.asarray(X_train[sub], np.float32), "y": y[sub],
+            "w": (np.asarray(sample_weight[sub], np.float32)
+                  if sample_weight is not None else None),
+            "X_val": X_dummy_val, "y_val": y_dummy_val,
+            "spw": 1.0, "seed": params.seed,
+        })
+    if verbose:
+        print(f"   easy-ensemble: {n_estimators} models, "
+              f"{len(minority)} TDE + {n_maj} non-TDE each", flush=True)
+    models = train_gbdt_folds(folds, params, early_stopping_rounds=None,
+                              pad_features_to=PAD_FEATURES)
+    train_margin = predict_margin_folds(models, np.asarray(X_train, np.float32))
+    oof = (1.0 / (1.0 + np.exp(-np.asarray(train_margin)))).mean(axis=0)
+    test_preds = None
+    if X_test is not None:
+        test_margin = predict_margin_folds(models, np.asarray(X_test, np.float32))
+        test_preds = (1.0 / (1.0 + np.exp(-np.asarray(test_margin)))).mean(axis=0)
+    best_f1, best_threshold = threshold_sweep(y, oof,
+                                              np.linspace(0.05, 0.5, 200))
+    importance = None
+    for m in models:
+        imp = np.asarray(m.importance_gain)
+        importance = imp if importance is None else importance + imp
+    return CVResult(oof_preds=oof, test_preds=test_preds, fold_f1s=[],
+                    best_f1=best_f1, best_threshold=best_threshold,
+                    importance_gain=importance, models=list(models))

@@ -23,8 +23,9 @@ ALL_CONFIGS = ["baseline", "v9", "v19", "v20", "v30", "v34a",
                "v35", "v40", "v42", "v45", "v47", "v48",
                "v55", "v56", "v57", "v58", "v59b",
                "v60", "v62", "v64", "v65", "v66",
-               "v92", "v92a", "v92b", "v92c", "v92d", "v97",
-               "v102a", "v102b", "v102c", "v104", "v105", "v108",
+               "v92", "v92a", "v92b", "v92c", "v92d", "v93", "v97",
+               "v102a", "v102b", "v102c", "v103", "v103a", "v103c",
+               "v104", "v105", "v106", "v108",
                "v110", "v111", "v115c", "v118", "v119"]
 
 
