@@ -544,6 +544,70 @@ def cmd_train(args):
             result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold,
                       "seed_f1s": cv.fold_f1s}
             test_preds, threshold = cv.test_preds, cv.best_threshold
+        elif args.config in ("v10", "v13", "v22"):
+            # DL baselines on raw sequences — documented failures kept as
+            # capabilities (reference BENCHMARKS.md:32-60: LSTM/transformer
+            # F1 0.10-0.12, ATAT 0.50; src/models/{lstm_classifier,
+            # transformer_classifier,atat}.py). Stratified 80/20 holdout,
+            # focal loss, full-batch Adam; --rounds maps to epochs.
+            import jax as _jax
+            import jax.numpy as _jnp
+
+            from mallorn_tpu.data.loader import load_all_data
+            from mallorn_tpu.models import (ATAT, LSTMClassifier,
+                                            SequenceBatch,
+                                            TransformerClassifier,
+                                            make_sequence_batch)
+            from mallorn_tpu.models.train_dl import train_model
+
+            data = load_all_data(Path(args.data))
+            batch = make_sequence_batch(data["train_packed"],
+                                        data["train_meta"])
+            rng = np.random.default_rng(42)
+            pos = np.flatnonzero(np.asarray(batch.label) == 1)
+            neg = np.flatnonzero(np.asarray(batch.label) == 0)
+            rng.shuffle(pos), rng.shuffle(neg)
+            val_ix = np.concatenate([pos[: max(len(pos) // 5, 1)],
+                                     neg[: max(len(neg) // 5, 1)]])
+            tr_ix = np.setdiff1d(np.arange(len(batch.label)), val_ix)
+
+            def take(b, ix):
+                return SequenceBatch(*(None if v is None else v[ix]
+                                       for v in b))
+
+            # ATAT's tabular tower consumes the extracted feature matrix
+            # (reference atat.py:113-157 quantile-tokenizes tabular
+            # features); standardized, NaN -> 0
+            tab = tab_te = None
+            if args.config == "v22":
+                Z = np.nan_to_num(np.asarray(Xtr, np.float64),
+                                  nan=0.0, posinf=0.0, neginf=0.0)
+                mu, sd = Z.mean(0), Z.std(0)
+                sd = np.where(sd > 0, sd, 1.0)
+                tab = _jnp.asarray((Z - mu) / sd, _jnp.float32)
+            model = {"v10": LSTMClassifier, "v13": TransformerClassifier,
+                     "v22": ATAT}[args.config]()
+            n_epochs = args.rounds if args.rounds is not None else 100
+            res = train_model(
+                model, take(batch, tr_ix), val_batch=take(batch, val_ix),
+                tabular=None if tab is None else tab[tr_ix],
+                val_tabular=None if tab is None else tab[val_ix],
+                n_epochs=n_epochs, lr=1e-3)
+            result = {"val_f1": res.val_f1, "threshold": res.threshold,
+                      "final_loss": float(res.losses[-1])}
+            test_preds, threshold = None, res.threshold
+            if object_ids_test is not None and "test_packed" in data:
+                te_batch = make_sequence_batch(data["test_packed"],
+                                               data["test_meta"])
+                if args.config == "v22":
+                    Zt = np.nan_to_num(np.asarray(Xte, np.float64),
+                                       nan=0.0, posinf=0.0, neginf=0.0)
+                    tab_te = _jnp.asarray((Zt - mu) / sd, _jnp.float32)
+                    logits = model.apply(res.params, te_batch, tab_te,
+                                         train=False)
+                else:
+                    logits = model.apply(res.params, te_batch, train=False)
+                test_preds = np.asarray(_jax.nn.sigmoid(logits))
         else:
             raise SystemExit(f"unknown config {args.config}")
 
@@ -611,7 +675,8 @@ def main(argv=None):
     pt.add_argument("--data", required=True)
     pt.add_argument("--cache", required=True)
     pt.add_argument("--config", default="v92d",
-                    choices=["baseline", "v9", "v16", "v19", "v20", "v30", "v34a",
+                    choices=["baseline", "v9", "v10", "v13", "v16", "v19", "v20",
+                             "v22", "v30", "v34a",
                              "v35", "v40", "v42", "v45", "v47", "v48",
                              "v55", "v56", "v57", "v58", "v59b",
                              "v60", "v62", "v64", "v65", "v66",
