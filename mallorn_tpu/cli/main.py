@@ -60,6 +60,9 @@ def _extract_family(family, packed, meta, gp_steps, dtw_templates=None):
     if family == "multiband_gp":
         return multiband_gp.extract(packed, meta, n_steps=gp_steps)
     # these vmap the full batch internally (no per-chunk dispatch needed)
+    if family == "astromer":
+        from mallorn_tpu.features import astromer
+        return astromer.extract(packed, meta)
     if family == "advanced":
         return advanced.extract(packed, meta)
     if family == "advanced_physics":
@@ -367,8 +370,8 @@ def cmd_train(args):
             result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold,
                       "n_features": Xtr2.shape[1], "n_dered": len(d_names)}
             test_preds, threshold = cv.test_preds, cv.best_threshold
-        elif args.config in ("v9", "v20", "v30", "v35", "v40", "v47", "v48",
-                             "v56", "v58", "v59b", "v64", "v65", "v66"):
+        elif args.config in ("v9", "v20", "v26", "v30", "v35", "v40", "v47",
+                             "v48", "v56", "v58", "v59b", "v64", "v65", "v66"):
             # script-level feature augmentation of the v34a backbone
             # (reference: scripts/train_v56_agn_peak_ordering.py:208-236,
             #  scripts/train_v58_fwhm.py:190-214, train_v59b_temp_at_fwhm.py,
@@ -377,7 +380,11 @@ def cmd_train(args):
             #  train_v35_cesium.py, train_v40_fourier.py,
             #  train_v47_enhanced_colors.py, train_v48_time_to_decline.py,
             #  train_v64_blackbody_radius.py, train_v66_high_snr.py)
-            fam = {"v9": "dtw", "v20": "advanced", "v30": "advanced_physics",
+            # v26: pretrained astromer embeddings appended to the backbone
+            # (reference: scripts/train_v26_astromer.py + pooled pretrained
+            #  embeddings, src/features/astromer_embeddings.py)
+            fam = {"v9": "dtw", "v20": "advanced", "v26": "astromer",
+                   "v30": "advanced_physics",
                    "v35": "cesium", "v40": "fourier",
                    "v47": "enhanced_colors", "v48": "time_to_decline",
                    "v56": "peak_ordering", "v58": "fwhm",
@@ -676,7 +683,7 @@ def main(argv=None):
     pt.add_argument("--cache", required=True)
     pt.add_argument("--config", default="v92d",
                     choices=["baseline", "v9", "v10", "v13", "v16", "v19", "v20",
-                             "v22", "v30", "v34a",
+                             "v22", "v26", "v30", "v34a",
                              "v35", "v40", "v42", "v45", "v47", "v48",
                              "v55", "v56", "v57", "v58", "v59b",
                              "v60", "v62", "v64", "v65", "v66",

@@ -19,7 +19,8 @@ from mallorn_tpu.cli.main import main
 
 pytestmark = pytest.mark.slow
 
-ALL_CONFIGS = ["baseline", "v9", "v10", "v13", "v19", "v20", "v22", "v30", "v34a",
+ALL_CONFIGS = ["baseline", "v9", "v10", "v13", "v19", "v20", "v22", "v26",
+               "v30", "v34a",
                "v35", "v40", "v42", "v45", "v47", "v48",
                "v55", "v56", "v57", "v58", "v59b",
                "v60", "v62", "v64", "v65", "v66",
@@ -37,7 +38,8 @@ N_TEST = int(N_TRAIN * 2.33)  # cmd_synth's test-split sizing
 TRAIN_FAMILIES = ("features_v4,tde_physics,multiband_gp,bazin,"
                   "research,powerlaw,powerlaw_ratio,peak_ordering,fwhm,"
                   "temp_fwhm,dtw,advanced,advanced_physics,cesium,fourier,"
-                  "enhanced_colors,time_to_decline,blackbody,high_snr")
+                  "enhanced_colors,time_to_decline,blackbody,high_snr,"
+                  "astromer")
 
 
 @pytest.fixture(scope="module")

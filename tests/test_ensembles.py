@@ -53,15 +53,18 @@ def test_two_stage_runs():
     assert len(out["test_preds"]) == n
 
 
-def test_astromer_native_default(tiny_dataset):
-    """`extract` delegates to the native learned-embedding equivalent
-    (pretrained ASTROMER weights are an external download — `available()`
-    stays honest about that)."""
+def test_astromer_fallback_without_weights(tiny_dataset, tmp_path):
+    """Without a pretrained artifact, `extract` warns and delegates to the
+    supervised learned-embedding substitute (see test_astromer_pretrained.py
+    for the shipped-weights path)."""
     from mallorn_tpu.features import astromer
 
-    assert astromer.available() is False
+    missing = tmp_path / "nope.npz"
+    assert astromer.available(missing) is False
     packed, meta, _ = tiny_dataset
-    feats = astromer.extract(packed, meta, d_model=16, n_epochs=5)
+    with pytest.warns(UserWarning, match="pretrained astromer"):
+        feats = astromer.extract(packed, meta, weights_path=missing,
+                                 d_model=16, n_epochs=5)
     assert len(feats) == 16
     assert np.isfinite(np.asarray(feats["emb_0"])).all()
 
