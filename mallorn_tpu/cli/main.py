@@ -551,25 +551,28 @@ def cmd_train(args):
             result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold,
                       "seed_f1s": cv.fold_f1s}
             test_preds, threshold = cv.test_preds, cv.best_threshold
-        elif args.config in ("v10", "v13", "v22"):
+        elif args.config in ("v10", "v13", "v22", "v27"):
             # DL baselines on raw sequences — documented failures kept as
             # capabilities (reference BENCHMARKS.md:32-60: LSTM/transformer
             # F1 0.10-0.12, ATAT 0.50; src/models/{lstm_classifier,
-            # transformer_classifier,atat}.py). Stratified 80/20 holdout,
+            # transformer_classifier,atat}.py; band-parallel attention-GRU,
+            # scripts/train_v27_gru.py). Stratified 80/20 holdout,
             # focal loss, full-batch Adam; --rounds maps to epochs.
             import jax as _jax
             import jax.numpy as _jnp
 
             from mallorn_tpu.data.loader import load_all_data
-            from mallorn_tpu.models import (ATAT, LSTMClassifier,
-                                            SequenceBatch,
+            from mallorn_tpu.models import (ATAT, GRUClassifier,
+                                            LSTMClassifier,
                                             TransformerClassifier,
+                                            make_band_batch,
                                             make_sequence_batch)
             from mallorn_tpu.models.train_dl import train_model
 
             data = load_all_data(Path(args.data))
-            batch = make_sequence_batch(data["train_packed"],
-                                        data["train_meta"])
+            make_batch = (make_band_batch if args.config == "v27"
+                          else make_sequence_batch)
+            batch = make_batch(data["train_packed"], data["train_meta"])
             rng = np.random.default_rng(42)
             pos = np.flatnonzero(np.asarray(batch.label) == 1)
             neg = np.flatnonzero(np.asarray(batch.label) == 0)
@@ -579,8 +582,7 @@ def cmd_train(args):
             tr_ix = np.setdiff1d(np.arange(len(batch.label)), val_ix)
 
             def take(b, ix):
-                return SequenceBatch(*(None if v is None else v[ix]
-                                       for v in b))
+                return type(b)(*(None if v is None else v[ix] for v in b))
 
             # ATAT's tabular tower consumes the extracted feature matrix
             # (reference atat.py:113-157 quantile-tokenizes tabular
@@ -593,7 +595,7 @@ def cmd_train(args):
                 sd = np.where(sd > 0, sd, 1.0)
                 tab = _jnp.asarray((Z - mu) / sd, _jnp.float32)
             model = {"v10": LSTMClassifier, "v13": TransformerClassifier,
-                     "v22": ATAT}[args.config]()
+                     "v22": ATAT, "v27": GRUClassifier}[args.config]()
             n_epochs = args.rounds if args.rounds is not None else 100
             res = train_model(
                 model, take(batch, tr_ix), val_batch=take(batch, val_ix),
@@ -604,8 +606,8 @@ def cmd_train(args):
                       "final_loss": float(res.losses[-1])}
             test_preds, threshold = None, res.threshold
             if object_ids_test is not None and "test_packed" in data:
-                te_batch = make_sequence_batch(data["test_packed"],
-                                               data["test_meta"])
+                te_batch = make_batch(data["test_packed"],
+                                      data["test_meta"])
                 if args.config == "v22":
                     Zt = np.nan_to_num(np.asarray(Xte, np.float64),
                                        nan=0.0, posinf=0.0, neginf=0.0)
@@ -683,7 +685,7 @@ def main(argv=None):
     pt.add_argument("--cache", required=True)
     pt.add_argument("--config", default="v92d",
                     choices=["baseline", "v9", "v10", "v13", "v16", "v19", "v20",
-                             "v22", "v26", "v30", "v34a",
+                             "v22", "v26", "v27", "v30", "v34a",
                              "v35", "v40", "v42", "v45", "v47", "v48",
                              "v55", "v56", "v57", "v58", "v59b",
                              "v60", "v62", "v64", "v65", "v66",

@@ -26,6 +26,46 @@ class SequenceBatch(NamedTuple):
     label: Optional[jnp.ndarray]  # [N] or None
 
 
+class BandBatch(NamedTuple):
+    """Per-band padded view for band-parallel encoders (v27 GRU)."""
+
+    features: jnp.ndarray  # [N, 6, T, 3] (norm flux, norm err, rel time/100)
+    mask: jnp.ndarray  # [N, 6, T] bool
+    meta: jnp.ndarray  # [N, 2] (Z, EBV)
+    label: Optional[jnp.ndarray]  # [N] or None
+
+
+def make_band_batch(packed: PackedLightcurves,
+                    meta: Optional[Metadata] = None) -> BandBatch:
+    """Band-separated sequences for the v27 GRU (reference
+    scripts/train_v27_gru.py:188-200 stacks [flux, time, err] per band).
+    Flux is normalized per object across all bands (shared scale keeps
+    inter-band amplitude ratios); time is days since the object's first
+    observation, /100."""
+    t, f, e, m = (packed.band_time, packed.band_flux, packed.band_err,
+                  packed.band_mask)
+    n = jnp.maximum(m.sum(axis=(1, 2)), 1)
+    mu = jnp.sum(jnp.where(m, f, 0.0), axis=(1, 2)) / n
+    sd = jnp.sqrt(jnp.sum(jnp.where(m, (f - mu[:, None, None]) ** 2, 0.0),
+                          axis=(1, 2)) / n)
+    sd = jnp.where(sd > 0, sd, 1.0)[:, None, None]
+    nf = jnp.where(m, (f - mu[:, None, None]) / sd, 0.0)
+    ne = jnp.where(m, e / sd, 0.0)
+
+    t0 = jnp.min(jnp.where(m, t, jnp.inf), axis=(1, 2))
+    t0 = jnp.where(jnp.isfinite(t0), t0, 0.0)
+    rel_t = jnp.where(m, (t - t0[:, None, None]) / 100.0, 0.0)
+
+    features = jnp.stack([nf, rel_t, ne], axis=-1)
+    if meta is not None:
+        md = jnp.stack([jnp.asarray(meta.z), jnp.asarray(meta.ebv)], axis=1)
+        label = jnp.asarray(meta.target) if meta.target is not None else None
+    else:
+        md = jnp.zeros((packed.n_objects, 2))
+        label = None
+    return BandBatch(features=features, mask=m, meta=md, label=label)
+
+
 def make_sequence_batch(packed: PackedLightcurves,
                         meta: Optional[Metadata] = None) -> SequenceBatch:
     t, f, e, b, m = (packed.all_time, packed.all_flux, packed.all_err,

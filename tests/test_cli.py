@@ -20,7 +20,7 @@ from mallorn_tpu.cli.main import main
 pytestmark = pytest.mark.slow
 
 ALL_CONFIGS = ["baseline", "v9", "v10", "v13", "v19", "v20", "v22", "v26",
-               "v30", "v34a",
+               "v27", "v30", "v34a",
                "v35", "v40", "v42", "v45", "v47", "v48",
                "v55", "v56", "v57", "v58", "v59b",
                "v60", "v62", "v64", "v65", "v66",
@@ -70,7 +70,7 @@ def test_train_config_end_to_end(workspace, config):
     result = json.loads(result_file.read_text())
     # DL baselines (v10/v13/v22) report a holdout val_f1 instead of an
     # OOF F1 (80/20 split, not K-fold)
-    f1_key = "val_f1" if config in ("v10", "v13", "v22") else "oof_f1"
+    f1_key = "val_f1" if config in ("v10", "v13", "v22", "v27") else "oof_f1"
     assert np.isfinite(result[f1_key]), f"{config}: non-finite {f1_key}"
     assert 0.0 <= result[f1_key] <= 1.0
     assert np.isfinite(result["threshold"])

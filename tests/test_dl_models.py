@@ -40,6 +40,38 @@ def test_model_overfits(seq_batch, model_cls, kwargs):
     assert res.val_f1 > 0.8, res.val_f1  # trivially overfits train=val
 
 
+def test_band_batch_shapes():
+    from mallorn_tpu.models import make_band_batch
+
+    packed, meta, _ = generate_dataset(16, seed=6, tde_frac=0.3)
+    b = make_band_batch(packed, meta)
+    n, nb, t = b.mask.shape
+    assert nb == 6
+    assert b.features.shape == (n, nb, t, 3)
+    assert not np.isnan(np.asarray(b.features)).any()
+    # padding carries zeros
+    feats = np.asarray(b.features)
+    assert (feats[~np.asarray(b.mask)] == 0).all()
+
+
+@pytest.mark.slow
+def test_gru_overfits():
+    """v27 band-parallel attention GRU (reference
+    scripts/train_v27_gru.py:147-260) overfits a tiny set and exposes
+    the GBDT-hybrid feature hook."""
+    from mallorn_tpu.models import GRUClassifier, make_band_batch
+
+    packed, meta, _ = generate_dataset(48, seed=5, tde_frac=0.3)
+    batch = make_band_batch(packed, meta)
+    model = GRUClassifier(hidden_dim=16, n_layers=1)
+    res = train_model(model, batch, val_batch=batch, n_epochs=150, lr=3e-3)
+    assert np.isfinite(res.losses).all()
+    assert res.val_f1 > 0.8, res.val_f1
+    feats = model.apply(res.params, batch, train=False, return_features=True)
+    assert feats.shape == (batch.mask.shape[0], 32)
+    assert np.isfinite(np.asarray(feats)).all()
+
+
 @pytest.mark.slow
 def test_atat_overfits(seq_batch):
     import jax.numpy as jnp
