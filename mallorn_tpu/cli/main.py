@@ -42,7 +42,7 @@ FAMILIES = ("features_v4", "tde_physics", "multiband_gp", "bazin",
             "research", "powerlaw", "powerlaw_ratio", "tde_models",
             "time_to_decline", "fourier", "enhanced_colors", "high_snr",
             "cesium", "gp1d", "peak_ordering", "fwhm", "temp_fwhm",
-            "advanced", "advanced_physics", "blackbody", "dtw")
+            "advanced", "advanced_physics", "blackbody", "dtw", "astromer")
 
 
 def _extract_family(family, packed, meta, gp_steps, dtw_templates=None):

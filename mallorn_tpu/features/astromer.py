@@ -72,6 +72,17 @@ def feature_names() -> list:
     return names
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=0)
+def _encode_pool(model, params, times, mags, errs, mask):
+    """Module-level jit (model static, hashable flax dataclass): the
+    compiled executable is reused across extract() calls / splits."""
+    emb, _ = model.apply(params, times, mags, errs, mask)
+    return _pool(emb, mask)
+
+
 def _pool(emb, valid):
     """Masked mean+max pool [B, T, D] -> [B, 2D] (reference pools the
     sequence embedding with np.mean/np.max, lines 166-171)."""
@@ -82,8 +93,7 @@ def _pool(emb, valid):
     return jnp.concatenate([mean, mx], axis=-1)
 
 
-def extract(packed, meta=None, weights_path=None,
-            **fallback_kwargs) -> Dict[str, np.ndarray]:
+def extract(packed, meta=None, weights_path=None) -> Dict[str, np.ndarray]:
     """Pretrained-embedding features {band}_astromer_emb_* + ratios.
 
     One batched forward: all N objects x 4 bands are normalized
@@ -97,14 +107,21 @@ def extract(packed, meta=None, weights_path=None,
     from mallorn_tpu.models.astromer import load_pretrained, normalize_band
 
     if not available(weights_path):
+        # the reference emits all-NaN astromer features when the model
+        # cannot be loaded (src/features/astromer_embeddings.py:211-215,
+        # 240-246) — same surface on train AND test, so downstream
+        # matrices stay aligned (the NaN-native tree layer absorbs them).
         import warnings
 
         warnings.warn(
-            "no pretrained astromer weights found; falling back to "
-            "supervised learned embeddings (semantically different "
-            "features). Run tools/pretrain_astromer.py to produce the "
-            "artifact.", stacklevel=2)
-        return extract_learned_embeddings(packed, meta, **fallback_kwargs)
+            "no pretrained astromer weights found; emitting the all-NaN "
+            "146-feature surface (reference model-unavailable behavior). "
+            "Run tools/pretrain_astromer.py to produce the artifact, or "
+            "call extract_learned_embeddings() for supervised "
+            "embeddings.", stacklevel=2)
+        n = packed.band_time.shape[0]
+        nan = np.full(n, np.nan, np.float32)
+        return {name: nan.copy() for name in feature_names()}
 
     params, model, _config = load_pretrained(weights_path)
 
@@ -114,14 +131,8 @@ def extract(packed, meta=None, weights_path=None,
     e = packed.band_err[:, _BAND_IDX].reshape(n * 4, -1)
     m = packed.band_mask[:, _BAND_IDX].reshape(n * 4, -1)
     seqs = normalize_band(t, f, e, m)
-
-    @jax.jit
-    def encode_pool(seqs):
-        emb, _ = model.apply(params, seqs.times, seqs.mags, seqs.errs,
-                             seqs.mask)
-        return _pool(emb, seqs.mask)
-
-    vec = np.asarray(encode_pool(seqs), np.float32)  # [N*4, 2D]
+    vec = np.asarray(_encode_pool(model, params, seqs.times, seqs.mags,
+                                  seqs.errs, seqs.mask), np.float32)  # [N*4, 2D]
     ok = (np.asarray(seqs.n_valid) >= _MIN_POINTS).reshape(n, 4)
     vec = vec.reshape(n, 4, -1)
 
@@ -140,10 +151,17 @@ def extract(packed, meta=None, weights_path=None,
             out[f"{band}_astromer_emb_{s}"] = np.where(good, arr, np.nan)
         band_means[band] = out[f"{band}_astromer_emb_mean"]
 
-    # cross-band achromaticity ratios (reference lines 248-266)
+    # cross-band achromaticity ratios (reference lines 248-266). The
+    # reference's bare `+ 1e-6` guard assumed positive embedding means;
+    # ours are means of STANDARDIZED pooled embeddings (zero-centered),
+    # so the denominator guard must be sign-preserving to keep the
+    # feature bounded instead of exploding near zero.
     for b1, b2 in (("g", "r"), ("r", "i")):
-        r = band_means[b1] / (band_means[b2] + 1e-6)
-        both = ~np.isnan(band_means[b1]) & ~np.isnan(band_means[b2])
+        m2 = band_means[b2]
+        denom = np.where(m2 >= 0, np.maximum(m2, 1e-6),
+                         np.minimum(m2, -1e-6))
+        r = band_means[b1] / denom
+        both = ~np.isnan(band_means[b1]) & ~np.isnan(m2)
         out[f"astromer_{b1}{b2}_mean_ratio"] = np.where(both, r, np.nan)
     return out
 

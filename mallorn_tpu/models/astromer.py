@@ -136,7 +136,9 @@ def make_probe_masks(key, mask, probe_frac: float = 0.5,
     random other magnitude from the same sequence, and the rest stay
     visible (Donoso-Oliva et al. 2022 §3.3 masking strategy).
 
-    Returns (probe [B,T] loss positions, hidden [B,T], swap_idx [B,T]).
+    Returns (probe [B,T] loss positions, hidden [B,T] positions hidden
+    from the encoder, swapped [B,T] positions given a replacement value,
+    swap_idx [B,T] the replacement source index per position).
     """
     k1, k2, k3 = jax.random.split(key, 3)
     u = jax.random.uniform(k1, mask.shape)

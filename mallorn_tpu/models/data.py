@@ -29,7 +29,7 @@ class SequenceBatch(NamedTuple):
 class BandBatch(NamedTuple):
     """Per-band padded view for band-parallel encoders (v27 GRU)."""
 
-    features: jnp.ndarray  # [N, 6, T, 3] (norm flux, norm err, rel time/100)
+    features: jnp.ndarray  # [N, 6, T, 3] (norm flux, rel time/100, norm err)
     mask: jnp.ndarray  # [N, 6, T] bool
     meta: jnp.ndarray  # [N, 2] (Z, EBV)
     label: Optional[jnp.ndarray]  # [N] or None

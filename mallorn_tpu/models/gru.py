@@ -39,14 +39,21 @@ class GRUClassifier(nn.Module):
         x = jnp.concatenate([batch.features, be], axis=-1)
         x = jnp.where(batch.mask[..., None], x, 0.0)
 
-        # bands -> batch dim: one shared bidirectional GRU dispatch
+        # bands -> batch dim: one shared bidirectional GRU dispatch.
+        # Valid observations are packed contiguously from index 0 per band
+        # (data/packing.py), so seq_lengths keeps the backward pass from
+        # accumulating state over trailing padding (the reference's torch
+        # GRU runs over padding and relies on attention masking alone —
+        # per-band padding is much heavier here, so mask properly).
         x = x.reshape(n * nb, t, x.shape[-1])
         mask = batch.mask.reshape(n * nb, t)
+        lengths = mask.sum(axis=1)
         for _ in range(self.n_layers):
-            fwd = nn.RNN(nn.GRUCell(self.hidden_dim))(x)
+            fwd = nn.RNN(nn.GRUCell(self.hidden_dim))(x, seq_lengths=lengths)
             bwd = nn.RNN(nn.GRUCell(self.hidden_dim), reverse=True,
-                         keep_order=True)(x)
+                         keep_order=True)(x, seq_lengths=lengths)
             x = jnp.concatenate([fwd, bwd], axis=-1)
+            x = jnp.where(mask[..., None], x, 0.0)
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
 
         # per-band attention pooling; empty bands -> zero representation

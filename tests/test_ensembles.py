@@ -54,19 +54,23 @@ def test_two_stage_runs():
 
 
 def test_astromer_fallback_without_weights(tiny_dataset, tmp_path):
-    """Without a pretrained artifact, `extract` warns and delegates to the
-    supervised learned-embedding substitute (see test_astromer_pretrained.py
-    for the shipped-weights path)."""
+    """Without a pretrained artifact, `extract` warns and emits the
+    reference's model-unavailable all-NaN 146-feature surface
+    (src/features/astromer_embeddings.py:211-215) — works on unlabeled
+    test splits too (no supervised training in the fallback)."""
     from mallorn_tpu.features import astromer
 
     missing = tmp_path / "nope.npz"
     assert astromer.available(missing) is False
     packed, meta, _ = tiny_dataset
     with pytest.warns(UserWarning, match="pretrained astromer"):
-        feats = astromer.extract(packed, meta, weights_path=missing,
-                                 d_model=16, n_epochs=5)
-    assert len(feats) == 16
-    assert np.isfinite(np.asarray(feats["emb_0"])).all()
+        feats = astromer.extract(packed, meta, weights_path=missing)
+    assert sorted(feats) == sorted(astromer.feature_names())
+    assert all(np.isnan(np.asarray(v)).all() for v in feats.values())
+    # unlabeled split: same surface, no crash
+    with pytest.warns(UserWarning):
+        feats_te = astromer.extract(packed, None, weights_path=missing)
+    assert len(feats_te) == 146
 
 
 @pytest.mark.slow

@@ -47,6 +47,7 @@ def main(argv=None):
     ap.add_argument("--n-objects", type=int, default=3000)
     ap.add_argument("--n-steps", type=int, default=1500)
     ap.add_argument("--d-model", type=int, default=48)
+    ap.add_argument("--n-heads", type=int, default=4)
     ap.add_argument("--n-layers", type=int, default=2)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=None)
@@ -62,11 +63,11 @@ def main(argv=None):
 
     params, _model, history = pretrain(
         seqs, d_model=args.d_model, n_layers=args.n_layers,
-        n_steps=args.n_steps, seed=args.seed)
+        n_heads=args.n_heads, n_steps=args.n_steps, seed=args.seed)
     for step, loss in history:
         print(f"  step {step:5d}  masked-recon MSE {loss:.4f}")
 
-    config = {"d_model": args.d_model, "n_heads": 4,
+    config = {"d_model": args.d_model, "n_heads": args.n_heads,
               "n_layers": args.n_layers, "n_steps": args.n_steps,
               "n_objects": args.n_objects, "seed": args.seed,
               "corpus": "mallorn_tpu.data.synthetic.generate_dataset",
