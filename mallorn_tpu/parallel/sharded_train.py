@@ -234,3 +234,77 @@ def train_gbdt_folds_sharded(
     return _models_from_folds(forests, imps, hists, specs, params,
                               n_feat_real, early_stopping_rounds,
                               best_mvs=best_mvs)
+
+
+# ------------------------------------------------------- comm observability
+
+def comm_volume_report(mesh: Mesh, n_rows: int, n_features: int,
+                       params: GBDTParams, axis: str = OBJ_AXIS) -> dict:
+    """Compile (don't run) the sharded GBDT fit and inventory its
+    collective ops from the optimized HLO.
+
+    Turns the analytic ICI comm-volume account (PERF.md) into a measured
+    one: the returned shapes are what XLA actually emits for the mesh.
+    Also a sharding-regression guard — any ``all-gather``/``all-to-all``
+    means the row shard leaked into a replicated intermediate (rows must
+    stay device-local; only histograms cross ICI).
+
+    Returns {collectives: [(kind, shape_str, bytes)], psum_bytes_per_round,
+    rows_resharded: bool}.
+    """
+    import re
+
+    from mallorn_tpu.trees.binning import apply_bins, fit_bins
+    from mallorn_tpu.trees.gbdt import _fit_jit
+
+    rng = np.random.default_rng(0)
+    n_dev = mesh.devices.size
+    q = _row_quantum(n_dev)
+    n_pad = ((n_rows + q - 1) // q) * q
+    X = rng.normal(size=(n_pad, n_features)).astype(np.float32)
+    y = (X[:, 0] > 0).astype(np.float32)
+    w = np.ones(n_pad, np.float32)
+
+    bin_spec = fit_bins(X, params.n_bins, sample_weight=w)
+    binned = apply_bins(bin_spec, jnp.asarray(X))
+    keys = jax.random.split(jax.random.PRNGKey(0), params.n_rounds)
+    rid = jnp.arange(n_pad, dtype=jnp.int32)
+
+    def local_fit(b, y_, w_, r_, k_):
+        f, imp, hist, _ = _fit_jit(b, y_, w_, r_, b[:1], y_[:1],
+                                   jnp.ones(1, bool), k_,
+                                   params._replace(seed=0),
+                                   objectives.logistic, False, axis)
+        return tuple(f), imp, hist
+
+    n_tree_arrays = 7 if params.grow_policy == "lossguide" else 5
+    fit = shard_map(
+        local_fit, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+        out_specs=(tuple([P()] * n_tree_arrays), P(), P()),
+        check_vma=False)
+    txt = (jax.jit(fit)
+           .lower(binned, jnp.asarray(y), jnp.asarray(w), rid, keys)
+           .compile().as_text())
+
+    dtype_bytes = {"f32": 4, "bf16": 2, "f16": 2, "f64": 8,
+                   "s32": 4, "u32": 4, "s8": 1, "u8": 1, "pred": 1}
+    pat = re.compile(
+        r"=\s*([a-z0-9]+)\[([0-9,]*)\]\S*\s*"
+        r"(all-reduce|all-gather|all-to-all|collective-permute|"
+        r"reduce-scatter)\(")
+    collectives, psum_bytes = [], 0
+    for dt, dims, kind in pat.findall(txt):
+        shape = [int(d) for d in dims.split(",") if d]
+        nbytes = int(np.prod(shape, dtype=np.int64)) * dtype_bytes.get(dt, 4)
+        collectives.append((kind, f"{dt}[{dims}]", nbytes))
+        if kind == "all-reduce":
+            # every all-reduce in the fit executes once per boosting
+            # round (the level loop is unrolled in the round body)
+            psum_bytes += nbytes
+    rows_resharded = any(k in ("all-gather", "all-to-all")
+                         for k, _, _ in collectives)
+    return {"collectives": collectives,
+            "psum_bytes_per_round": psum_bytes,
+            "rows_resharded": rows_resharded,
+            "n_devices": n_dev}

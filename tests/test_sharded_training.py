@@ -196,3 +196,34 @@ def test_sharded_folds_multiclass_match_single_device():
         if m_ref.val_margin is not None and m_got.val_margin is not None:
             np.testing.assert_allclose(m_ref.val_margin, m_got.val_margin,
                                        rtol=1e-4, atol=1e-5)
+
+
+def test_comm_volume_inventory():
+    """HLO-measured collective inventory (PERF.md comm-volume account):
+    the ONLY data crossing ICI per boosting round are the per-level
+    histogram all-reduces f32[F, 2^d, n_bins+1, 2] (+ sub-KB root
+    reductions); rows never reshard (no all-gather/all-to-all)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from mallorn_tpu.parallel.sharded_train import comm_volume_report
+
+    F, depth, n_bins = 32, 4, 256
+    params = GBDTParams(n_rounds=10, max_depth=depth, learning_rate=0.2,
+                        n_bins=n_bins)
+    mesh = make_mesh(8)
+    rep = comm_volume_report(mesh, n_rows=512, n_features=F, params=params)
+
+    assert not rep["rows_resharded"], rep["collectives"]
+    big = [(k, s, b) for k, s, b in rep["collectives"] if b > 1024]
+    # exactly one histogram all-reduce per tree level
+    expected = {f"f32[{F},{2 ** d},{n_bins + 1},2]" for d in range(depth)}
+    assert {s for _, s, _ in big} == expected, big
+    assert all(k == "all-reduce" for k, _, _ in big)
+
+    # analytic account matches the measured shapes
+    analytic = sum(F * (2 ** d) * (n_bins + 1) * 2 * 4 for d in range(depth))
+    small = sum(b for _, _, b in rep["collectives"]) - sum(b for *_, b in big)
+    assert rep["psum_bytes_per_round"] == analytic + small
+    assert small < 4096, rep["collectives"]
