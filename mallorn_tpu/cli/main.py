@@ -218,6 +218,22 @@ def cmd_train(args):
             from mallorn_tpu.io.model_store import save_cv_models
             save_cv_models(out_dir / f"models_{args.config}", cv.models,
                            cv.best_threshold, names)
+        elif args.config == "v14":
+            # residual MLP on the selected engineered features — the NN
+            # ensemble member over the SAME tabular matrix the GBM
+            # consumes (reference scripts/train_v14_nn_features.py:51-117,
+            # 141-153: features_v4 cache + selected_features, 5-fold CV)
+            from mallorn_tpu.models.mlp import train_mlp_cv
+
+            Xte14 = None
+            if object_ids_test is not None:
+                Xte_v4, _ = _load_matrices(args.cache, "test", ["features_v4"])
+                Xte14 = pipelines._finite_or_nan(Xte_v4)[:, sel_idx]
+            n_ep = args.rounds if args.rounds is not None else 150
+            out = train_mlp_cv(Xv4[:, sel_idx], y, Xte14, n_epochs=n_ep)
+            result = {"oof_f1": out["best_f1"], "threshold": out["threshold"],
+                      "n_features": len(sel_idx)}
+            test_preds, threshold = out["test_preds"], out["threshold"]
         elif args.config in ("v110", "v111", "v118"):
             # regularized leaf-wise / DART / symmetric-tree GBM on the
             # v34a feature set (reference: train_v110_lgbm_regularized.py,
@@ -684,7 +700,7 @@ def main(argv=None):
     pt.add_argument("--data", required=True)
     pt.add_argument("--cache", required=True)
     pt.add_argument("--config", default="v92d",
-                    choices=["baseline", "v9", "v10", "v13", "v16", "v19", "v20",
+                    choices=["baseline", "v9", "v10", "v13", "v14", "v16", "v19", "v20",
                              "v22", "v26", "v27", "v30", "v34a",
                              "v35", "v40", "v42", "v45", "v47", "v48",
                              "v55", "v56", "v57", "v58", "v59b",

@@ -19,7 +19,7 @@ from mallorn_tpu.cli.main import main
 
 pytestmark = pytest.mark.slow
 
-ALL_CONFIGS = ["baseline", "v9", "v10", "v13", "v19", "v20", "v22", "v26",
+ALL_CONFIGS = ["baseline", "v9", "v10", "v13", "v14", "v19", "v20", "v22", "v26",
                "v27", "v30", "v34a",
                "v35", "v40", "v42", "v45", "v47", "v48",
                "v55", "v56", "v57", "v58", "v59b",

@@ -40,6 +40,24 @@ def test_model_overfits(seq_batch, model_cls, kwargs):
     assert res.val_f1 > 0.8, res.val_f1  # trivially overfits train=val
 
 
+def test_mlp_cv_overfits_separable():
+    """v14 residual MLP (reference scripts/train_v14_nn_features.py):
+    5-fold CV on a linearly separable tabular matrix reaches high OOF F1
+    and returns averaged test preds."""
+    from mallorn_tpu.models.mlp import train_mlp_cv
+
+    rng = np.random.default_rng(0)
+    n = 300
+    X = rng.normal(size=(n, 12)).astype(np.float32)
+    y = (X[:, 0] + 0.5 * X[:, 1] > 0.8).astype(np.float32)
+    X[rng.uniform(size=n) < 0.05, 2] = np.nan  # NaN tolerance
+    out = train_mlp_cv(X, y, X_test=X[:50], n_epochs=300,
+                       hidden_dims=(32, 16), n_folds=3)
+    assert out["best_f1"] > 0.8, out["best_f1"]
+    assert out["test_preds"].shape == (50,)
+    assert np.isfinite(out["oof"]).all()
+
+
 def test_band_batch_shapes():
     from mallorn_tpu.models import make_band_batch
 
