@@ -141,3 +141,25 @@ def test_train_v16_external_combination(workspace, tmp_path_factory):
     result = json.loads((out / "result_v16.json").read_text())
     assert result["n_external"] == 80
     assert np.isfinite(result["oof_f1"])
+
+
+def test_set_override_changes_training(workspace):
+    """--set applies GBDTParams deltas (the reference's regularization
+    variants v8/v28a/v29a/v81 as a flag): max_depth=2 must change the OOF
+    probabilities vs the default depth-5 run, and an unknown key errors."""
+    out_a = _train(workspace, "v34a")
+    res_a = json.loads((out_a / "result_v34a.json").read_text())
+
+    out_b = workspace / "artifacts_v34a_set"
+    main(["train", "--data", str(workspace / "data"),
+          "--cache", str(workspace / "cache"),
+          "--config", "v34a", "--out", str(out_b), "--rounds", "12",
+          "--set", "max_depth=2,reg_lambda=5.0"])
+    res_b = json.loads((out_b / "result_v34a.json").read_text())
+    assert res_a != res_b  # different trees -> different OOF/threshold
+
+    with pytest.raises(SystemExit, match="unknown GBDTParams field"):
+        main(["train", "--data", str(workspace / "data"),
+              "--cache", str(workspace / "cache"),
+              "--config", "v34a", "--out", str(out_b), "--rounds", "2",
+              "--set", "not_a_field=1"])
