@@ -44,8 +44,8 @@ def build_sequences(n_objects: int, seed: int):
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n-objects", type=int, default=3000)
-    ap.add_argument("--n-steps", type=int, default=1500)
+    ap.add_argument("--n-objects", type=int, default=5000)
+    ap.add_argument("--n-steps", type=int, default=4000)
     ap.add_argument("--d-model", type=int, default=48)
     ap.add_argument("--n-heads", type=int, default=4)
     ap.add_argument("--n-layers", type=int, default=2)
