@@ -22,7 +22,32 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: the suite is compile-bound on a small-CPU
 # host; repeat runs (the common case for the driver and for developers)
 # skip most XLA compiles. Best-effort — a cold cache just compiles.
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_tests")
+#
+# The dir is keyed by a HOST CPU fingerprint: XLA:CPU AOT results encode
+# the compile machine's feature set, and this VM migrates between hosts
+# with different features across sessions. Deserializing a
+# foreign-machine entry ABORTS the process mid-suite (observed:
+# cpu_aot_loader "+prefer-no-scatter not supported ... SIGILL" warnings,
+# then SIGABRT inside compilation_cache.get_executable_and_time). A new
+# host simply gets a fresh cache.
+
+
+def _host_fingerprint():
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha256(flags.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    return "nofp"
+
+
+_cache_dir = os.path.join(os.path.dirname(__file__), "..",
+                          f".jax_cache_tests_{_host_fingerprint()}")
 try:
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
