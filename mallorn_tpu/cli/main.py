@@ -164,12 +164,27 @@ def cmd_train(args):
                     f"--set: unknown GBDTParams field {k!r} "
                     f"(valid: {', '.join(params._fields)})")
             cur = getattr(params, k)
+            v = v.strip()
             typ = (type(cur) if cur is not None else
                    (float if "." in v else int))
             if typ is bool:
-                val = v.strip().lower() in ("1", "true", "yes")
+                val = v.lower() in ("1", "true", "yes")
+            elif isinstance(cur, str):
+                val = v
             else:
-                val = typ(v.strip()) if not isinstance(cur, str) else v.strip()
+                try:
+                    num = float(v)
+                except ValueError:
+                    raise SystemExit(
+                        f"--set: {k}={v!r} is not a number "
+                        f"(field type {typ.__name__})")
+                if typ is int:
+                    if num != int(num):
+                        raise SystemExit(
+                            f"--set: {k} is an integer field, got {v!r}")
+                    val = int(num)
+                else:
+                    val = typ(num)
             params = params._replace(**{k: val})
         return params
     object_ids_test = None

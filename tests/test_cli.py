@@ -184,3 +184,11 @@ def test_set_override_changes_training(workspace):
               "--cache", str(workspace / "cache"),
               "--config", "v34a", "--out", str(out_b), "--rounds", "2",
               "--set", "not_a_field=1"])
+
+    # malformed values error cleanly, not with a raw ValueError traceback
+    for bad in ("max_depth=2.5", "reg_lambda=abc"):
+        with pytest.raises(SystemExit, match="--set"):
+            main(["train", "--data", str(workspace / "data"),
+                  "--cache", str(workspace / "cache"),
+                  "--config", "v34a", "--out", str(out_b), "--rounds", "2",
+                  "--set", bad])
