@@ -9,10 +9,32 @@ npz + a JSON feature-name manifest (the cross-stage contract).
 from __future__ import annotations
 
 import json
+import os
 from pathlib import Path
 from typing import Dict, Optional, Tuple
 
 import numpy as np
+
+
+def atomic_savez(path, **arrays) -> Path:
+    """np.savez_compressed via a temp file + os.replace.
+
+    A concurrent process doing load-or-compute on the same cache dir must
+    never see (and np.load) a partially-written npz — same pattern as the
+    .so compile in io/native.py and the selection artifact."""
+    path = Path(path)
+    if path.suffix != ".npz":
+        path = path.with_suffix(".npz")
+    tmp = path.with_name(f"{path.stem}.tmp{os.getpid()}.npz")
+    np.savez_compressed(tmp, **arrays)
+    os.replace(tmp, path)
+    return path
+
+
+def _atomic_write_text(path: Path, text: str) -> None:
+    tmp = path.with_name(f"{path.name}.tmp{os.getpid()}")
+    tmp.write_text(text)
+    os.replace(tmp, path)
 
 
 def save_features(path, features: Dict[str, np.ndarray],
@@ -22,8 +44,12 @@ def save_features(path, features: Dict[str, np.ndarray],
     from mallorn_tpu.features.base import feature_matrix
 
     mat, names = feature_matrix(features)  # one device transfer, not F
-    np.savez_compressed(path, matrix=mat, object_ids=np.asarray(object_ids).astype(str))
-    path.with_suffix(".manifest.json").write_text(json.dumps({"names": names}))
+    # manifest FIRST: readers gate on the npz existing, so once the npz
+    # lands its manifest must already be in place
+    _atomic_write_text(path.with_suffix(".manifest.json"),
+                       json.dumps({"names": names}))
+    atomic_savez(path, matrix=mat,
+                 object_ids=np.asarray(object_ids).astype(str))
 
 
 def load_features(path) -> Tuple[np.ndarray, list, np.ndarray]:

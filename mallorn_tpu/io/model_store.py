@@ -17,9 +17,11 @@ from mallorn_tpu.trees.gbdt import Forest, GBDTModel, GBDTParams
 
 
 def save_model(path, model: GBDTModel) -> Path:
+    from mallorn_tpu.io.cache import atomic_savez
+
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    np.savez_compressed(
+    return atomic_savez(
         path,
         feature=np.asarray(model.forest.feature),
         split_bin=np.asarray(model.forest.split_bin),
@@ -33,7 +35,6 @@ def save_model(path, model: GBDTModel) -> Path:
         params=json.dumps(model.params._asdict()),
         n_bins=model.bin_spec.n_bins,
     )
-    return path if path.suffix == ".npz" else path.with_suffix(".npz")
 
 
 def load_model(path) -> GBDTModel:
@@ -57,9 +58,13 @@ def save_cv_models(dirpath, models: List[GBDTModel], threshold: float,
                    feature_names: List[str]) -> Path:
     d = Path(dirpath)
     d.mkdir(parents=True, exist_ok=True)
+    from mallorn_tpu.io.cache import _atomic_write_text
+
     for i, m in enumerate(models):
         save_model(d / f"fold_{i}.npz", m)
-    (d / "manifest.json").write_text(json.dumps({
+    # manifest LAST: load_cv_models gates on it, so once it lands every
+    # fold file it references must already be in place
+    _atomic_write_text(d / "manifest.json", json.dumps({
         "n_folds": len(models), "threshold": threshold,
         "feature_names": list(feature_names),
     }))
