@@ -1,0 +1,229 @@
+"""Property-based fuzz: GBDT-vs-oracle parity on adversarial data.
+
+The fixed-fixture parity tests (test_gbdt.py) pin one data draw; here
+hypothesis draws the DATA STRUCTURE — duplicate-heavy quantized columns,
+constant and all-NaN columns, extreme magnitudes, zero sample weights,
+class imbalance — and the device trainer must still match the loop-NumPy
+f64 oracle. Shapes and params stay FIXED so the whole run pays exactly
+one XLA compile.
+
+Exact margin parity is NOT achievable on every draw: adversarial data
+manufactures knife-edges — a split whose child hessian lands EXACTLY on
+min_child_weight, or two (feature, bin) candidates with bit-identical
+gains — where f32 (device) and f64 (oracle) legitimately resolve
+differently. The acceptance criterion is therefore:
+
+  margins allclose
+  OR ( the FIRST structural divergence between the two forests is a
+       provable knife-edge — both candidates' f64 gains equal within
+       1e-3, or either candidate's min child hessian within 1e-3 of
+       min_child_weight, or a leaf-vs-split flip at the min_split_gain /
+       min_child_weight boundary —
+       AND the final weighted train logloss matches within 0.02 ).
+
+A real defect (wrong histogram, wrong NaN routing, wrong leaf values)
+produces a non-knife-edge divergence or a degraded loss and still fails.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from mallorn_tpu.trees import GBDTParams, apply_bins, fit_bins, predict_margin, train_gbdt
+
+N, F, BINS, ROUNDS, DEPTH = 160, 6, 32, 8, 3
+LR, ALPHA, LAM, MCW, MSG = 0.15, 0.1, 1.0, 2.0, 1e-6
+
+PARAMS = GBDTParams(n_rounds=ROUNDS, max_depth=DEPTH, learning_rate=LR,
+                    subsample=1.0, colsample_bytree=1.0,
+                    min_child_weight=MCW, reg_alpha=ALPHA, reg_lambda=LAM,
+                    n_bins=BINS)
+
+COLUMN_KINDS = ("normal", "quantized", "lowcard", "constant", "allnan",
+                "extreme", "heavy_nan")
+
+
+def _make_column(kind: str, rng: np.random.Generator, n: int) -> np.ndarray:
+    if kind == "normal":
+        return rng.normal(size=n)
+    if kind == "quantized":  # many exact duplicates -> bin-edge ties
+        return np.round(rng.normal(size=n) * 2.0) / 2.0
+    if kind == "lowcard":  # 3 distinct values
+        return rng.choice([-1.0, 0.0, 2.5], size=n)
+    if kind == "constant":
+        return np.full(n, 1.25)
+    if kind == "allnan":
+        return np.full(n, np.nan)
+    if kind == "extreme":
+        return rng.choice([1e-30, 1e30, -1e30, 0.0], size=n)
+    if kind == "heavy_nan":
+        c = rng.normal(size=n)
+        c[rng.uniform(size=n) < 0.6] = np.nan
+        return c
+    raise AssertionError(kind)
+
+
+@st.composite
+def dataset(draw):
+    seed = draw(st.integers(0, 2**31 - 1))
+    kinds = draw(st.lists(st.sampled_from(COLUMN_KINDS),
+                          min_size=F, max_size=F))
+    weight_kind = draw(st.sampled_from(["ones", "uniform", "zero_block"]))
+    pos_frac = draw(st.floats(0.08, 0.5))
+
+    rng = np.random.default_rng(seed)
+    X = np.stack([_make_column(k, rng, N) for k in kinds], axis=1)
+    # tiny per-column jitter reduces (but cannot eliminate — lowcard
+    # columns can partition rows identically) cross-feature gain ties
+    jitter = (np.arange(F) + 1) * 1e-6
+    X = (X + jitter[None, :] * np.isfinite(X)).astype(np.float32)
+
+    y = (rng.uniform(size=N) < pos_frac).astype(np.float32)
+    if weight_kind == "ones":
+        w = np.ones(N, np.float32)
+    elif weight_kind == "uniform":
+        w = rng.uniform(0.2, 3.0, size=N).astype(np.float32)
+    else:  # a fifth of the rows inert
+        w = np.ones(N, np.float32)
+        w[: N // 5] = 0.0
+    # keep the problem non-degenerate: >= 3 of each class with weight > 0
+    live = np.flatnonzero(w > 0)
+    y[live[:3]] = 1.0
+    y[live[3:6]] = 0.0
+    return X, y, w, kinds, weight_kind
+
+
+# ----------------------------- knife-edge divergence analysis (f64)
+
+
+def _node_rows(arrs, t, nid, binned):
+    """Rows reaching heap node ``nid`` of OUR tree ``t`` (== the oracle's
+    rows too: callers only use this at the FIRST divergent node, whose
+    ancestors — all earlier in heap order — agreed)."""
+    F_a, S_a, D_a, _ = arrs
+    path = []
+    while nid > 0:
+        parent = (nid - 1) // 2
+        path.append((parent, nid == 2 * parent + 1))
+        nid = parent
+    rows = np.arange(binned.shape[0])
+    for parent, want_left in reversed(path):
+        f, b, dl = F_a[t, parent], S_a[t, parent], bool(D_a[t, parent])
+        bv = binned[rows, f]
+        go_left = np.where(bv == BINS, dl, bv <= b)
+        rows = rows[go_left == want_left]
+    return rows
+
+
+def _split_stats(rows, f, b, dl, binned, grad, hess):
+    from tests.oracles.gbdt_oracle import score
+
+    bv = binned[rows, f]
+    left = (bv <= b) | ((bv == BINS) & dl)
+    gl, hl = grad[rows][left].sum(), hess[rows][left].sum()
+    g_tot, h_tot = grad[rows].sum(), hess[rows].sum()
+    parent = score(g_tot, h_tot, ALPHA, LAM)
+    gain = 0.5 * (score(gl, hl, ALPHA, LAM)
+                  + score(g_tot - gl, h_tot - hl, ALPHA, LAM) - parent)
+    return gain, min(hl, h_tot - hl)
+
+
+def _first_divergence(model, oracle, binned):
+    F_a = np.asarray(model.forest.feature)
+    S_a = np.asarray(model.forest.split_bin)
+    D_a = np.asarray(model.forest.default_left)
+    L_a = np.asarray(model.forest.is_leaf)
+    arrs = (F_a, S_a, D_a, L_a)
+    for t, tree in enumerate(oracle.trees):
+        for nid in range(2 ** DEPTH - 1):
+            o = tree.get(nid)
+            if o is None:
+                continue
+            ours_leaf = bool(L_a[t, nid])
+            same = (o["leaf"] == ours_leaf and (o["leaf"] or (
+                o["feature"] == F_a[t, nid] and o["bin"] == S_a[t, nid]
+                and o["default_left"] == bool(D_a[t, nid]))))
+            if not same:
+                return t, nid, o, arrs
+    return None
+
+
+def _is_knife_edge(t, nid, o, arrs, binned, y, w, oracle):
+    """True when the first divergent node is a legitimate f32-vs-f64
+    knife-edge (see module docstring). Evaluated entirely in f64 with
+    the oracle's own grad/hess entering tree t."""
+    margin = np.zeros(len(y))
+    for tt in range(t):
+        margin += oracle._predict_tree(oracle.trees[tt], binned)
+    prob = 1 / (1 + np.exp(-margin))
+    grad, hess = w * (prob - y), w * prob * (1 - prob)
+    rows = _node_rows(arrs, t, nid, binned)
+
+    F_a, S_a, D_a, L_a = arrs
+    picks, infos = {}, []
+    if not o["leaf"]:
+        picks["oracle"] = (o["feature"], o["bin"], o["default_left"])
+    if not bool(L_a[t, nid]):
+        picks["ours"] = (int(F_a[t, nid]), int(S_a[t, nid]),
+                         bool(D_a[t, nid]))
+    stats = {}
+    for name, (f, b, dl) in picks.items():
+        g, mh = _split_stats(rows, f, b, dl, binned, grad, hess)
+        stats[name] = (g, mh)
+        infos.append(f"{name}: f{f} b{b} dl={dl} gain={g:.6f} minh={mh:.6f}")
+    if len(stats) == 2:  # both split, differently
+        (g1, m1), (g2, m2) = stats["oracle"], stats["ours"]
+        ok = (abs(g1 - g2) <= 1e-3 * max(1.0, abs(g1))
+              or abs(m1 - MCW) <= 1e-3 or abs(m2 - MCW) <= 1e-3)
+    else:  # leaf-vs-split flip: the split side must be boundary-marginal
+        g1, m1 = next(iter(stats.values()))
+        ok = abs(m1 - MCW) <= 1e-3 or abs(g1 - MSG) <= 1e-3
+    return ok, "; ".join(infos)
+
+
+def _logloss(margin, y, w):
+    p = 1 / (1 + np.exp(-margin))
+    eps = 1e-12
+    return float(np.average(-(y * np.log(p + eps)
+                              + (1 - y) * np.log(1 - p + eps)), weights=w))
+
+
+@pytest.mark.filterwarnings("ignore::RuntimeWarning")
+@settings(max_examples=25, deadline=None, derandomize=True, database=None)
+@given(dataset())
+def test_fuzz_matches_numpy_oracle(data):
+    from tests.oracles.gbdt_oracle import OracleGBDT
+
+    X, y, w, kinds, weight_kind = data
+
+    model = train_gbdt(X, y, PARAMS, sample_weight=w)
+    ours = np.asarray(predict_margin(model, X, n_trees=ROUNDS))
+    assert np.isfinite(ours).all(), (kinds, weight_kind)
+
+    # mirror train_gbdt's internal wiring: weight-aware quantile sketch
+    # on the BASE weights (scale_pos_weight never enters binning)
+    spec = fit_bins(X, BINS, sample_weight=w)
+    binned = np.asarray(apply_bins(spec, X))
+    oracle = OracleGBDT(n_rounds=ROUNDS, max_depth=DEPTH, learning_rate=LR,
+                        reg_alpha=ALPHA, reg_lambda=LAM,
+                        min_child_weight=MCW, n_bins=BINS)
+    y64, w64 = y.astype(np.float64), w.astype(np.float64)
+    oracle.fit(binned, y64, w64)
+    want = oracle.predict_margin(binned)
+
+    if np.allclose(ours, want, rtol=2e-3, atol=2e-3):
+        return
+
+    div = _first_divergence(model, oracle, binned)
+    assert div is not None, (
+        f"margins differ with identical forests (leaf-value bug?) "
+        f"kinds={kinds} weights={weight_kind}")
+    t, nid, o, arrs = div
+    ok, info = _is_knife_edge(t, nid, o, arrs, binned, y64, w64, oracle)
+    assert ok, (f"non-knife-edge divergence at tree {t} node {nid}: {info} "
+                f"kinds={kinds} weights={weight_kind}")
+
+    d_loss = _logloss(ours, y64, w64) - _logloss(want, y64, w64)
+    assert d_loss <= 0.02, (
+        f"knife-edge divergence but loss degraded by {d_loss:.4f} "
+        f"kinds={kinds} weights={weight_kind}")
