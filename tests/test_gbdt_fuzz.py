@@ -148,15 +148,27 @@ def _first_divergence(model, oracle, binned):
     return None
 
 
-def _is_knife_edge(t, nid, o, arrs, binned, y, w, oracle):
-    """True when the first divergent node is a legitimate f32-vs-f64
-    knife-edge (see module docstring). Evaluated entirely in f64 with
-    the oracle's own grad/hess entering tree t."""
+def _grads_logistic(oracle, t, binned, y, w):
     margin = np.zeros(len(y))
     for tt in range(t):
         margin += oracle._predict_tree(oracle.trees[tt], binned)
     prob = 1 / (1 + np.exp(-margin))
-    grad, hess = w * (prob - y), w * prob * (1 - prob)
+    return w * (prob - y), w * prob * (1 - prob)
+
+
+def _grads_regression(oracle, t, binned, y, w):
+    margin = np.full(len(y), oracle.base_score)
+    for tt in range(t):
+        margin += oracle._predict_tree(oracle.trees[tt], binned)
+    return w * (margin - y), w.astype(np.float64).copy()
+
+
+def _is_knife_edge(t, nid, o, arrs, binned, y, w, oracle, mcw=MCW,
+                   grads_fn=_grads_logistic):
+    """True when the first divergent node is a legitimate f32-vs-f64
+    knife-edge (see module docstring). Evaluated entirely in f64 with
+    the oracle's own grad/hess entering tree t."""
+    grad, hess = grads_fn(oracle, t, binned, y, w)
     rows = _node_rows(arrs, t, nid, binned)
 
     F_a, S_a, D_a, L_a = arrs
@@ -174,10 +186,10 @@ def _is_knife_edge(t, nid, o, arrs, binned, y, w, oracle):
     if len(stats) == 2:  # both split, differently
         (g1, m1), (g2, m2) = stats["oracle"], stats["ours"]
         ok = (abs(g1 - g2) <= 1e-3 * max(1.0, abs(g1))
-              or abs(m1 - MCW) <= 1e-3 or abs(m2 - MCW) <= 1e-3)
+              or abs(m1 - mcw) <= 1e-3 or abs(m2 - mcw) <= 1e-3)
     else:  # leaf-vs-split flip: the split side must be boundary-marginal
         g1, m1 = next(iter(stats.values()))
-        ok = abs(m1 - MCW) <= 1e-3 or abs(g1 - MSG) <= 1e-3
+        ok = abs(m1 - mcw) <= 1e-3 or abs(g1 - MSG) <= 1e-3
     return ok, "; ".join(infos)
 
 
@@ -227,3 +239,64 @@ def test_fuzz_matches_numpy_oracle(data):
     assert d_loss <= 0.02, (
         f"knife-edge divergence but loss degraded by {d_loss:.4f} "
         f"kinds={kinds} weights={weight_kind}")
+
+
+REG_MCW = 1.7  # non-integer: unit-weight hessian sums (= row counts for
+# reg:squarederror) can never sit ON the boundary, cutting the legitimate
+# knife-edge rate; boundary hits under continuous weights remain handled.
+REG_PARAMS = GBDTParams(n_rounds=ROUNDS, max_depth=DEPTH, learning_rate=LR,
+                        subsample=1.0, colsample_bytree=1.0,
+                        min_child_weight=REG_MCW, reg_alpha=ALPHA,
+                        reg_lambda=LAM, n_bins=BINS, base_score=0.5,
+                        eval_metric="rmse")
+
+
+def _wmse(margin, y, w):
+    return float(np.average((margin - y) ** 2, weights=w))
+
+
+@pytest.mark.filterwarnings("ignore::RuntimeWarning")
+@settings(max_examples=25, deadline=None, derandomize=True, database=None)
+@given(dataset(), st.floats(0.0, 0.3))
+def test_fuzz_regression_matches_numpy_oracle(data, eps):
+    """reg:squarederror (the soft-label trainers' objective, reference
+    train_v102_label_smoothing.py:113-137) on adversarial data with
+    smoothed continuous targets."""
+    from mallorn_tpu.trees import objectives
+    from tests.oracles.gbdt_oracle import OracleRegressionGBDT
+
+    X, y, w, kinds, weight_kind = data
+    y_soft = (y * (1 - eps) + 0.5 * eps).astype(np.float32)
+
+    model = train_gbdt(X, y_soft, REG_PARAMS, sample_weight=w,
+                       scale_pos_weight=1.0,
+                       objective=objectives.squarederror)
+    ours = np.asarray(predict_margin(model, X, n_trees=ROUNDS))
+    assert np.isfinite(ours).all(), (kinds, weight_kind)
+
+    spec = fit_bins(X, BINS, sample_weight=w)
+    binned = np.asarray(apply_bins(spec, X))
+    oracle = OracleRegressionGBDT(base_score=0.5, n_rounds=ROUNDS,
+                                  max_depth=DEPTH, learning_rate=LR,
+                                  reg_alpha=ALPHA, reg_lambda=LAM,
+                                  min_child_weight=REG_MCW, n_bins=BINS)
+    y64, w64 = y_soft.astype(np.float64), w.astype(np.float64)
+    oracle.fit(binned, y64, w64)
+    want = oracle.predict_margin(binned)
+
+    if np.allclose(ours, want, rtol=2e-3, atol=2e-3):
+        return
+
+    div = _first_divergence(model, oracle, binned)
+    assert div is not None, (
+        f"margins differ with identical forests (leaf-value bug?) "
+        f"kinds={kinds} weights={weight_kind}")
+    t, nid, o, arrs = div
+    ok, info = _is_knife_edge(t, nid, o, arrs, binned, y64, w64, oracle,
+                              mcw=REG_MCW, grads_fn=_grads_regression)
+    assert ok, (f"non-knife-edge divergence at tree {t} node {nid}: {info} "
+                f"kinds={kinds} weights={weight_kind}")
+
+    d = _wmse(ours, y64, w64) - _wmse(want, y64, w64)
+    assert d <= 0.01, (f"knife-edge divergence but wMSE degraded by {d:.5f} "
+                       f"kinds={kinds} weights={weight_kind}")
