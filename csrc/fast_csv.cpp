@@ -8,6 +8,7 @@
 //
 // C ABI only (consumed via ctypes; no pybind11 in the image).
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -138,7 +139,11 @@ CsvResult* parse_lightcurves(const char* path) {
             size_t n = flens[k] < 63 ? flens[k] : 63;
             memcpy(tmp, fields[k], n);
             tmp[n] = 0;
-            return strtod(tmp, nullptr);
+            // empty/non-numeric field -> NaN (pandas semantics; bare
+            // strtod would silently yield 0.0 for an empty field)
+            char* ep = nullptr;
+            double v = strtod(tmp, &ep);
+            return ep == tmp ? NAN : v;
           };
           // object id (cache the common consecutive-rows case)
           int32_t oi;

@@ -42,7 +42,8 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     if _build_failed:
         return None
-    if not _SO.exists():
+    if not _SO.exists() or (_SRC.exists()
+                            and _SRC.stat().st_mtime > _SO.stat().st_mtime):
         if not _SRC.exists():
             _build_failed = True
             return None

@@ -45,3 +45,19 @@ def test_native_parse_direct(tmp_path):
     np.testing.assert_allclose(d["time"], [60001.5, 60002.5, 60003.0, 60004.0])
     np.testing.assert_allclose(d["flux"], [10.25, 11.0, -3.5, 9.0])
     np.testing.assert_array_equal(d["band"], [1, 2, 0, 1])
+
+
+def test_native_empty_field_is_nan(tmp_path):
+    """An empty or non-numeric numeric field parses as NaN (pandas
+    semantics) — bare strtod would silently turn an empty Flux into 0.0."""
+    p = tmp_path / "lc.csv"
+    p.write_text(
+        "object_id,Time (MJD),Flux,Flux_err,Filter\n"
+        "OBJ1,60001.5,,0.5,g\n"
+        "OBJ1,60002.5,11.0,junk,r\n"
+        "OBJ1,60003.5,1e30,0.5,i\n")
+    d = native.parse_lightcurves(p)
+    assert d is not None
+    assert np.isnan(d["flux"][0]) and d["flux"][2] == 1e30
+    assert np.isnan(d["flux_err"][1])
+    np.testing.assert_allclose(d["time"], [60001.5, 60002.5, 60003.5])
