@@ -300,3 +300,116 @@ def test_fuzz_regression_matches_numpy_oracle(data, eps):
     d = _wmse(ours, y64, w64) - _wmse(want, y64, w64)
     assert d <= 0.01, (f"knife-edge divergence but wMSE degraded by {d:.5f} "
                        f"kinds={kinds} weights={weight_kind}")
+
+
+# ----------------------------- multiclass (v62 path)
+
+K_CLASS = 4
+MC_PARAMS = GBDTParams(n_rounds=6, max_depth=DEPTH, learning_rate=LR,
+                       subsample=1.0, colsample_bytree=1.0,
+                       min_child_weight=REG_MCW, reg_alpha=ALPHA,
+                       reg_lambda=LAM, n_bins=BINS, num_class=K_CLASS)
+
+
+@st.composite
+def mc_dataset(draw):
+    X, y, w, kinds, weight_kind = draw(dataset())
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    y_mc = rng.integers(0, K_CLASS, size=len(y)).astype(np.float32)
+    live = np.flatnonzero(w > 0)
+    for k in range(K_CLASS):  # every class present among live rows
+        y_mc[live[2 * k:2 * k + 2]] = k
+    return X, y_mc, w, kinds, weight_kind
+
+
+def _first_divergence_mc(model, oracle, binned):
+    F_a = np.asarray(model.forest.feature)      # [R, K, nodes]
+    S_a = np.asarray(model.forest.split_bin)
+    D_a = np.asarray(model.forest.default_left)
+    L_a = np.asarray(model.forest.is_leaf)
+    for t, round_trees in enumerate(oracle.trees):
+        for k, tree in enumerate(round_trees):
+            for nid in range(2 ** DEPTH - 1):
+                o = tree.get(nid)
+                if o is None:
+                    continue
+                ours_leaf = bool(L_a[t, k, nid])
+                same = (o["leaf"] == ours_leaf and (o["leaf"] or (
+                    o["feature"] == F_a[t, k, nid]
+                    and o["bin"] == S_a[t, k, nid]
+                    and o["default_left"] == bool(D_a[t, k, nid]))))
+                if not same:
+                    arrs = (F_a[:, k], S_a[:, k], D_a[:, k], L_a[:, k])
+                    return t, k, nid, o, arrs
+    return None
+
+
+def _grads_mc(oracle, t, k, binned, y, w):
+    n, K = len(y), oracle.n_class
+    margin = np.zeros((n, K))
+    for tt in range(t):
+        for kk, tree in enumerate(oracle.trees[tt]):
+            margin[:, kk] += oracle._predict_tree(tree, binned)
+    z = margin - margin.max(axis=1, keepdims=True)
+    prob = np.exp(z)
+    prob /= prob.sum(axis=1, keepdims=True)
+    yk = np.eye(K)[np.asarray(y, int)]
+    grad = w * (prob[:, k] - yk[:, k])
+    hess = w * np.maximum(2.0 * prob[:, k] * (1 - prob[:, k]), 1e-16)
+    return grad, hess
+
+
+def _mlogloss(margin, y, w):
+    z = margin - margin.max(axis=1, keepdims=True)
+    p = np.exp(z)
+    p /= p.sum(axis=1, keepdims=True)
+    rows = p[np.arange(len(y)), np.asarray(y, int)]
+    return float(np.average(-np.log(rows + 1e-12), weights=w))
+
+
+@pytest.mark.filterwarnings("ignore::RuntimeWarning")
+@settings(max_examples=20, deadline=None, derandomize=True, database=None)
+@given(mc_dataset())
+def test_fuzz_multiclass_matches_numpy_oracle(data):
+    """multi:softprob (reference v62 semantics,
+    scripts/train_v62_multiclass_ensemble.py:176-177) on adversarial
+    data: K trees per round on softmax grad/hess."""
+    from tests.oracles.gbdt_oracle import OracleMulticlassGBDT
+
+    X, y, w, kinds, weight_kind = data
+
+    model = train_gbdt(X, y, MC_PARAMS, sample_weight=w,
+                       scale_pos_weight=1.0)
+    ours = np.asarray(predict_margin(model, X,
+                                     n_trees=MC_PARAMS.n_rounds))
+    assert np.isfinite(ours).all(), (kinds, weight_kind)
+
+    spec = fit_bins(X, BINS, sample_weight=w)
+    binned = np.asarray(apply_bins(spec, X))
+    oracle = OracleMulticlassGBDT(n_class=K_CLASS,
+                                  n_rounds=MC_PARAMS.n_rounds,
+                                  max_depth=DEPTH, learning_rate=LR,
+                                  reg_alpha=ALPHA, reg_lambda=LAM,
+                                  min_child_weight=REG_MCW, n_bins=BINS)
+    y64, w64 = y.astype(np.float64), w.astype(np.float64)
+    oracle.fit(binned, y64, w64)
+    want = oracle.predict_margin(binned)
+
+    if np.allclose(ours, want, rtol=2e-3, atol=2e-3):
+        return
+
+    div = _first_divergence_mc(model, oracle, binned)
+    assert div is not None, (
+        f"margins differ with identical forests (leaf-value bug?) "
+        f"kinds={kinds} weights={weight_kind}")
+    t, k, nid, o, arrs = div
+    grads_fn = lambda orc, tt, b, yy, ww: _grads_mc(orc, tt, k, b, yy, ww)
+    ok, info = _is_knife_edge(t, nid, o, arrs, binned, y64, w64, oracle,
+                              mcw=REG_MCW, grads_fn=grads_fn)
+    assert ok, (f"non-knife-edge divergence at round {t} class {k} node "
+                f"{nid}: {info} kinds={kinds} weights={weight_kind}")
+
+    d = _mlogloss(ours, y64, w64) - _mlogloss(want, y64, w64)
+    assert d <= 0.02, (f"knife-edge divergence but mlogloss degraded by "
+                       f"{d:.4f} kinds={kinds} weights={weight_kind}")
