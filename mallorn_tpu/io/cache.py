@@ -62,11 +62,19 @@ def load_features(path) -> Tuple[np.ndarray, list, np.ndarray]:
 
 
 def cached(path, compute_fn, object_ids=None):
-    """Load from cache if present, else compute and persist."""
+    """Load from cache if present, else compute and persist.
+
+    A cache entry that fails to load (e.g. truncated by a kill before the
+    writes became atomic, or a deleted manifest) is treated as absent:
+    deleted and recomputed, never a hard error."""
     path = Path(path)
     npz = path if path.suffix == ".npz" else path.with_suffix(".npz")
     if npz.exists():
-        return load_features(npz)
+        try:
+            return load_features(npz)
+        except Exception:
+            npz.unlink(missing_ok=True)
+            npz.with_suffix(".manifest.json").unlink(missing_ok=True)
     feats = compute_fn()
     save_features(npz, feats, object_ids)
     return load_features(npz)

@@ -113,14 +113,15 @@ def adversarial_dataset(draw):
 def test_fuzz_feature_parity(ref_src, data):
     from features.colors import extract_color_features
     from features.lightcurve_shape import extract_shape_features
+    from features.physics_based import extract_physics_features
     from features.statistical import extract_statistical_features
     from features.tde_physics import extract_tde_physics_features
 
-    from mallorn_tpu.features import colors, shape, statistical, tde
+    from mallorn_tpu.features import colors, physics, shape, statistical, tde
     from tests.oracles.frames import to_reference_frames
 
     packed, meta, cols, kinds, scale = data
-    lc, _ = to_reference_frames(cols, meta)
+    lc, log = to_reference_frames(cols, meta)
     ids = list(meta.object_ids)
     ctx = f"kinds={kinds} scale={scale}"
 
@@ -140,6 +141,8 @@ def test_fuzz_feature_parity(ref_src, data):
          lambda: shape.extract(packed)),
         ("tde", lambda: extract_tde_physics_features(lc, ids),
          lambda: tde.extract(packed)),
+        ("physics", lambda: extract_physics_features(lc, log, ids),
+         lambda: physics.extract(packed, meta)),
     ):
         try:
             ref = ref_fn()
