@@ -15,6 +15,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 OBJ_AXIS = "obj"
+DCN_AXIS = "dcn"
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = OBJ_AXIS) -> Mesh:
@@ -22,6 +23,25 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = OBJ_AXIS) -> Mesh:
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
+
+
+def make_mesh_2d(n_slices: int, per_slice: Optional[int] = None,
+                 axes: tuple = (DCN_AXIS, OBJ_AXIS)) -> Mesh:
+    """2-axis mesh for multi-slice scale-out: (slice, chip-within-slice).
+
+    The trainer's row axis shards over BOTH axes (pass
+    ``axis=(DCN_AXIS, OBJ_AXIS)``): per-shard histogram builds are
+    unchanged, and the single histogram ``psum`` spans the joint axes —
+    XLA lowers it hierarchically on real hardware (intra-slice reduction
+    over ICI, inter-slice over DCN), which is the right topology because
+    the psum'd histogram payload is identical per chip either way
+    (PERF.md comm-volume account). Same identical-trees contract as the
+    1-D mesh."""
+    devs = jax.devices()
+    if per_slice is None:
+        per_slice = len(devs) // n_slices
+    devs = devs[: n_slices * per_slice]
+    return Mesh(np.array(devs).reshape(n_slices, per_slice), axes)
 
 
 def object_sharding(mesh: Mesh, axis: str = OBJ_AXIS) -> NamedSharding:

@@ -87,11 +87,16 @@ def make_sharded_training_step(mesh: Mesh, params: GBDTParams,
 
 def train_gbdt_sharded(mesh: Mesh, X, y, params: GBDTParams,
                        sample_weight=None, scale_pos_weight: float = 1.0,
-                       axis: str = OBJ_AXIS):
+                       axis=OBJ_AXIS):
     """Full distributed GBDT training: rows sharded over the mesh, bin
     edges global, histograms psum'd — every device builds identical trees
     (XGBoost's distributed-hist contract). Returns a GBDTModel identical
     (up to float reduction order) to single-device training.
+
+    ``axis`` may be a single mesh axis name or a TUPLE of names for
+    multi-slice meshes (``make_mesh_2d``): rows shard over the joint
+    axes and the histogram psum spans both (hierarchical ICI+DCN
+    reduction on real hardware).
 
     Row subsampling is keyed by the GLOBAL row id (gbdt._row_subsample_mask)
     so even subsample < 1 draws the exact same rows as single-device
@@ -151,7 +156,7 @@ def train_gbdt_folds_sharded(
     pad_rows_to=None,
     pad_val_rows_to=None,
     pad_features_to=None,
-    axis: str = OBJ_AXIS,
+    axis=OBJ_AXIS,
 ):
     """All CV folds as ONE vmapped + row-sharded computation.
 
@@ -230,7 +235,10 @@ def train_gbdt_folds_sharded(
         (arrs["binned"], arrs["y"], arrs["w"], arrs["row_ids"],
          arrs["binned_val"], arrs["yv"], arrs["vmask"], arrs["keys"]),
         tag=(_folds_cache_tag(p0, objective, int(early_stopping_rounds or 0))
-             + f"_mesh{n_dev}"))
+             # keyed by mesh SHAPE: a (2, 4) multi-slice mesh must not
+             # share an executable with the (8,) 1-D mesh ("8" == "8"
+             # keeps 1-D tags unchanged)
+             + f"_mesh{'x'.join(str(s) for s in mesh.devices.shape)}"))
     return _models_from_folds(forests, imps, hists, specs, params,
                               n_feat_real, early_stopping_rounds,
                               best_mvs=best_mvs)
@@ -239,7 +247,7 @@ def train_gbdt_folds_sharded(
 # ------------------------------------------------------- comm observability
 
 def comm_volume_report(mesh: Mesh, n_rows: int, n_features: int,
-                       params: GBDTParams, axis: str = OBJ_AXIS) -> dict:
+                       params: GBDTParams, axis=OBJ_AXIS) -> dict:
     """Compile (don't run) the sharded GBDT fit and inventory its
     collective ops from the optimized HLO.
 

@@ -227,3 +227,59 @@ def test_comm_volume_inventory():
     small = sum(b for _, _, b in rep["collectives"]) - sum(b for *_, b in big)
     assert rep["psum_bytes_per_round"] == analytic + small
     assert small < 4096, rep["collectives"]
+
+
+def test_multislice_2d_mesh_matches_single_device():
+    """Multi-slice readiness: rows sharded over a 2-axis (dcn x obj) mesh
+    (make_mesh_2d), the histogram psum spanning BOTH axes — identical
+    trees to single-device, same contract as the 1-D mesh."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from mallorn_tpu.parallel.mesh import DCN_AXIS, OBJ_AXIS, make_mesh_2d
+    from mallorn_tpu.parallel.sharded_train import train_gbdt_sharded
+
+    rng = np.random.default_rng(5)
+    n = 512
+    X = rng.normal(size=(n, 10)).astype(np.float32)
+    y = ((X[:, 0] - X[:, 1] + rng.normal(0, 0.4, n)) > 0).astype(np.float32)
+    X[rng.uniform(size=n) < 0.1, 3] = np.nan
+
+    params = GBDTParams(n_rounds=20, max_depth=4, learning_rate=0.2,
+                        subsample=0.8, colsample_bytree=0.8)
+    single = train_gbdt(X, y, params)
+    mesh2d = make_mesh_2d(2, 4)
+    sharded = train_gbdt_sharded(mesh2d, X, y, params,
+                                 axis=(DCN_AXIS, OBJ_AXIS))
+
+    np.testing.assert_array_equal(np.asarray(single.forest.feature),
+                                  np.asarray(sharded.forest.feature))
+    np.testing.assert_array_equal(np.asarray(single.forest.split_bin),
+                                  np.asarray(sharded.forest.split_bin))
+    np.testing.assert_allclose(np.asarray(single.forest.leaf_value),
+                               np.asarray(sharded.forest.leaf_value),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_multislice_comm_inventory():
+    """The 2-axis mesh emits the same single histogram all-reduce per
+    level (now spanning all 8 devices across both axes) and still no
+    all-gather/all-to-all."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from mallorn_tpu.parallel.mesh import DCN_AXIS, OBJ_AXIS, make_mesh_2d
+    from mallorn_tpu.parallel.sharded_train import comm_volume_report
+
+    F, depth, n_bins = 32, 4, 256
+    params = GBDTParams(n_rounds=10, max_depth=depth, learning_rate=0.2,
+                        n_bins=n_bins)
+    rep = comm_volume_report(make_mesh_2d(2, 4), n_rows=512, n_features=F,
+                             params=params, axis=(DCN_AXIS, OBJ_AXIS))
+    assert not rep["rows_resharded"], rep["collectives"]
+    big = [(k, s, b) for k, s, b in rep["collectives"] if b > 1024]
+    expected = {f"f32[{F},{2 ** d},{n_bins + 1},2]" for d in range(depth)}
+    assert {s for _, s, _ in big} == expected, big
+    assert all(k == "all-reduce" for k, _, _ in big)
