@@ -44,8 +44,13 @@ def make_mesh_2d(n_slices: int, per_slice: Optional[int] = None,
     return Mesh(np.array(devs).reshape(n_slices, per_slice), axes)
 
 
-def object_sharding(mesh: Mesh, axis: str = OBJ_AXIS) -> NamedSharding:
-    """Shard the leading (object) axis; replicate the rest."""
+def object_sharding(mesh: Mesh, axis=None) -> NamedSharding:
+    """Shard the leading (object) axis; replicate the rest.
+
+    ``axis`` defaults to ALL of the mesh's axes, so objects shard over
+    the full device set on both 1-D and multi-slice (2-axis) meshes."""
+    if axis is None:
+        axis = tuple(mesh.axis_names)
     return NamedSharding(mesh, P(axis))
 
 
@@ -53,7 +58,7 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_packed(packed, mesh: Mesh, axis: str = OBJ_AXIS):
+def shard_packed(packed, mesh: Mesh, axis=None):
     """Place a PackedLightcurves (or any object-leading pytree) on the mesh,
     padding the object axis to a multiple of the mesh size."""
     from mallorn_tpu.data.packing import PackedLightcurves, pad_objects

@@ -46,13 +46,15 @@ def _row_quantum(n_dev: int, backend: str | None = None) -> int:
 
 def make_sharded_training_step(mesh: Mesh, params: GBDTParams,
                                feature_names, bin_spec: BinSpec,
-                               axis: str = OBJ_AXIS):
+                               axis=None):
     """Returns a jitted fn(packed, y, w, margin) -> (tree, new_margin).
 
     One full distributed boosting round: shard-local feature extraction
     -> shard-local binning -> psum'd histograms -> replicated tree
     -> shard-local margin update. All real collectives ride the mesh.
     """
+    if axis is None:
+        axis = tuple(mesh.axis_names)
 
     def local_step(packed: PackedLightcurves, y, w, margin):
         feats = statistical.extract(packed)
@@ -87,7 +89,7 @@ def make_sharded_training_step(mesh: Mesh, params: GBDTParams,
 
 def train_gbdt_sharded(mesh: Mesh, X, y, params: GBDTParams,
                        sample_weight=None, scale_pos_weight: float = 1.0,
-                       axis=OBJ_AXIS):
+                       axis=None):
     """Full distributed GBDT training: rows sharded over the mesh, bin
     edges global, histograms psum'd — every device builds identical trees
     (XGBoost's distributed-hist contract). Returns a GBDTModel identical
@@ -108,6 +110,8 @@ def train_gbdt_sharded(mesh: Mesh, X, y, params: GBDTParams,
     from mallorn_tpu.trees.binning import apply_bins, fit_bins
     from mallorn_tpu.trees.gbdt import Forest, GBDTModel, LGForest, _fit_jit
 
+    if axis is None:
+        axis = tuple(mesh.axis_names)
     n_dev = mesh.devices.size
     n = len(X)
     q = _row_quantum(n_dev)
@@ -156,7 +160,7 @@ def train_gbdt_folds_sharded(
     pad_rows_to=None,
     pad_val_rows_to=None,
     pad_features_to=None,
-    axis=OBJ_AXIS,
+    axis=None,
 ):
     """All CV folds as ONE vmapped + row-sharded computation.
 
@@ -173,6 +177,8 @@ def train_gbdt_folds_sharded(
 
     if objective is None:
         objective = objectives.logistic
+    if axis is None:
+        axis = tuple(mesh.axis_names)
 
     n_dev = mesh.devices.size
     row_q = _row_quantum(n_dev)
@@ -247,7 +253,7 @@ def train_gbdt_folds_sharded(
 # ------------------------------------------------------- comm observability
 
 def comm_volume_report(mesh: Mesh, n_rows: int, n_features: int,
-                       params: GBDTParams, axis=OBJ_AXIS) -> dict:
+                       params: GBDTParams, axis=None) -> dict:
     """Compile (don't run) the sharded GBDT fit and inventory its
     collective ops from the optimized HLO.
 
@@ -265,6 +271,8 @@ def comm_volume_report(mesh: Mesh, n_rows: int, n_features: int,
     from mallorn_tpu.trees.binning import apply_bins, fit_bins
     from mallorn_tpu.trees.gbdt import _fit_jit
 
+    if axis is None:
+        axis = tuple(mesh.axis_names)
     rng = np.random.default_rng(0)
     n_dev = mesh.devices.size
     q = _row_quantum(n_dev)

@@ -120,3 +120,36 @@ def test_sharded_chunked_extraction_matches_unchunked(splits):
                 assert np.mean(fracs) >= 0.9, (cs, np.mean(fracs))
             if fam == "multiband_gp":
                 assert np.mean(fracs) >= 0.97, (cs, np.mean(fracs))
+
+
+@pytest.mark.slow
+def test_v92d_pipeline_runs_on_multislice_mesh(splits):
+    """The ENTIRE winning pipeline on a 2-axis (dcn x obj) multi-slice
+    mesh: objects/rows shard over the joint axes by default (axis=None ->
+    all mesh axes), extraction runs shard-local, histogram all-reduces
+    span both axes. Trainer-level identical-trees on this mesh is pinned
+    in test_sharded_training.py; here the end-to-end path must run and
+    agree with the 1-D mesh result."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from mallorn_tpu.parallel.mesh import make_mesh_2d
+    from mallorn_tpu.parallel.pipeline import run_v92d_pipeline_sharded
+    from mallorn_tpu.train.adversarial import ADV_PARAMS
+    from mallorn_tpu.train.pipelines import V34A_PARAMS
+
+    tr_p, tr_m, te_p, te_m = splits
+    params = V34A_PARAMS._replace(n_rounds=10, max_depth=3)
+    kw = dict(train_packed=tr_p, train_meta=tr_m, test_packed=te_p,
+              test_meta=te_m, params=params, selection_params=params,
+              gp_steps=5, top_k=40, adv_params=ADV_PARAMS._replace(n_rounds=8))
+    out2d, _ = run_v92d_pipeline_sharded(mesh=make_mesh_2d(2, 4), **kw)
+    out1d, _ = run_v92d_pipeline_sharded(mesh=make_mesh(8), **kw)
+    assert np.isfinite(out2d.winner.best_f1)
+    assert np.isfinite(out2d.winner.test_preds).all()
+    # same trees -> same OOF F1/threshold as the 1-D mesh
+    assert out2d.winner.best_f1 == pytest.approx(out1d.winner.best_f1,
+                                                 abs=1e-6)
+    np.testing.assert_allclose(out2d.winner.test_preds,
+                               out1d.winner.test_preds, rtol=5e-4, atol=5e-4)
