@@ -165,26 +165,42 @@ def cmd_train(args):
                     f"(valid: {', '.join(params._fields)})")
             cur = getattr(params, k)
             v = v.strip()
-            typ = (type(cur) if cur is not None else
-                   (float if "." in v else int))
+            low = v.lower()
+            if cur is None and low in ("true", "false", "yes", "no"):
+                typ = bool  # Optional[bool] fields (use_pallas_hist, ...)
+            else:
+                typ = (type(cur) if cur is not None else
+                       (float if "." in v else int))
             if typ is bool:
-                val = v.lower() in ("1", "true", "yes")
+                if low in ("1", "true", "yes"):
+                    val = True
+                elif low in ("0", "false", "no"):
+                    val = False
+                else:
+                    raise SystemExit(
+                        f"--set: {k} is a boolean field, got {v!r} "
+                        "(use true/false/1/0/yes/no)")
             elif isinstance(cur, str):
                 val = v
+            elif typ is int:
+                try:
+                    val = int(v, 10)  # exact (float() would round > 2^53)
+                except ValueError:
+                    raise SystemExit(
+                        f"--set: {k} is an integer field, got {v!r}")
             else:
+                import math
+
                 try:
                     num = float(v)
                 except ValueError:
                     raise SystemExit(
                         f"--set: {k}={v!r} is not a number "
                         f"(field type {typ.__name__})")
-                if typ is int:
-                    if num != int(num):
-                        raise SystemExit(
-                            f"--set: {k} is an integer field, got {v!r}")
-                    val = int(num)
-                else:
-                    val = typ(num)
+                if not math.isfinite(num):
+                    raise SystemExit(
+                        f"--set: {k}={v!r} must be finite")
+                val = typ(num)
             params = params._replace(**{k: val})
         return params
     object_ids_test = None

@@ -44,12 +44,16 @@ def save_features(path, features: Dict[str, np.ndarray],
     from mallorn_tpu.features.base import feature_matrix
 
     mat, names = feature_matrix(features)  # one device transfer, not F
-    # manifest FIRST: readers gate on the npz existing, so once the npz
-    # lands its manifest must already be in place
+    # names live INSIDE the npz: the entry is a single atomic file, so no
+    # crash or concurrent overwrite can ever pair one generation's names
+    # with another generation's matrix. The JSON manifest is still
+    # written for human inspection / older readers, but the loader does
+    # not depend on it.
+    atomic_savez(path, matrix=mat,
+                 object_ids=np.asarray(object_ids).astype(str),
+                 names=np.asarray(names, dtype=str))
     _atomic_write_text(path.with_suffix(".manifest.json"),
                        json.dumps({"names": names}))
-    atomic_savez(path, matrix=mat,
-                 object_ids=np.asarray(object_ids).astype(str))
 
 
 def load_features(path) -> Tuple[np.ndarray, list, np.ndarray]:
@@ -57,22 +61,36 @@ def load_features(path) -> Tuple[np.ndarray, list, np.ndarray]:
     path = Path(path)
     z = np.load(path if path.suffix == ".npz" else path.with_suffix(".npz"),
                 allow_pickle=False)
-    names = json.loads(path.with_suffix(".manifest.json").read_text())["names"]
-    return z["matrix"], names, z["object_ids"]
+    if "names" in z.files:
+        names = [str(n) for n in z["names"]]
+    else:  # pre-round-4 entry: names only in the sidecar manifest
+        names = json.loads(
+            path.with_suffix(".manifest.json").read_text())["names"]
+    mat = z["matrix"]
+    if len(names) != mat.shape[1]:
+        raise ValueError(
+            f"feature cache {path.name}: {len(names)} names vs "
+            f"{mat.shape[1]} columns (mismatched generations)")
+    return mat, names, z["object_ids"]
 
 
 def cached(path, compute_fn, object_ids=None):
     """Load from cache if present, else compute and persist.
 
-    A cache entry that fails to load (e.g. truncated by a kill before the
-    writes became atomic, or a deleted manifest) is treated as absent:
-    deleted and recomputed, never a hard error."""
+    A cache entry that fails to PARSE (truncated by a kill before the
+    writes became atomic, a deleted manifest on a pre-round-4 entry, a
+    name/column generation mismatch) is treated as absent: deleted and
+    recomputed, never a hard error. Transient errors (OOM, EINTR) are
+    deliberately NOT caught — they must not destroy a valid artifact."""
+    import zipfile
+
     path = Path(path)
     npz = path if path.suffix == ".npz" else path.with_suffix(".npz")
     if npz.exists():
         try:
             return load_features(npz)
-        except Exception:
+        except (zipfile.BadZipFile, EOFError, KeyError, ValueError,
+                json.JSONDecodeError, FileNotFoundError):
             npz.unlink(missing_ok=True)
             npz.with_suffix(".manifest.json").unlink(missing_ok=True)
     feats = compute_fn()

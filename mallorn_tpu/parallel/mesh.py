@@ -39,9 +39,25 @@ def make_mesh_2d(n_slices: int, per_slice: Optional[int] = None,
     1-D mesh."""
     devs = jax.devices()
     if per_slice is None:
+        if n_slices <= 0 or len(devs) % n_slices != 0:
+            raise ValueError(
+                f"make_mesh_2d: {len(devs)} devices do not split into "
+                f"{n_slices} equal slices (pass per_slice explicitly to "
+                "use a subset)")
         per_slice = len(devs) // n_slices
+    if n_slices * per_slice > len(devs) or n_slices < 1 or per_slice < 1:
+        raise ValueError(
+            f"make_mesh_2d: need {n_slices}x{per_slice} devices, "
+            f"have {len(devs)}")
     devs = devs[: n_slices * per_slice]
     return Mesh(np.array(devs).reshape(n_slices, per_slice), axes)
+
+
+def resolve_axis(mesh: Mesh, axis):
+    """The shard-axis default policy in ONE place: None -> all of the
+    mesh's axes (joint sharding on multi-slice meshes, plain OBJ_AXIS
+    behavior on 1-D meshes)."""
+    return tuple(mesh.axis_names) if axis is None else axis
 
 
 def object_sharding(mesh: Mesh, axis=None) -> NamedSharding:
@@ -49,9 +65,7 @@ def object_sharding(mesh: Mesh, axis=None) -> NamedSharding:
 
     ``axis`` defaults to ALL of the mesh's axes, so objects shard over
     the full device set on both 1-D and multi-slice (2-axis) meshes."""
-    if axis is None:
-        axis = tuple(mesh.axis_names)
-    return NamedSharding(mesh, P(axis))
+    return NamedSharding(mesh, P(resolve_axis(mesh, axis)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

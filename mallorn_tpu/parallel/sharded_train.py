@@ -21,7 +21,7 @@ from jax import shard_map
 from mallorn_tpu.data.packing import PackedLightcurves
 from mallorn_tpu.features import statistical
 from mallorn_tpu.features.base import feature_matrix_jnp
-from mallorn_tpu.parallel.mesh import OBJ_AXIS
+from mallorn_tpu.parallel.mesh import OBJ_AXIS, resolve_axis
 from mallorn_tpu.trees import objectives
 from mallorn_tpu.trees.gbdt import GBDTParams, _train_tree
 from mallorn_tpu.trees.binning import BinSpec, apply_bins
@@ -53,8 +53,7 @@ def make_sharded_training_step(mesh: Mesh, params: GBDTParams,
     -> shard-local binning -> psum'd histograms -> replicated tree
     -> shard-local margin update. All real collectives ride the mesh.
     """
-    if axis is None:
-        axis = tuple(mesh.axis_names)
+    axis = resolve_axis(mesh, axis)
 
     def local_step(packed: PackedLightcurves, y, w, margin):
         feats = statistical.extract(packed)
@@ -110,8 +109,7 @@ def train_gbdt_sharded(mesh: Mesh, X, y, params: GBDTParams,
     from mallorn_tpu.trees.binning import apply_bins, fit_bins
     from mallorn_tpu.trees.gbdt import Forest, GBDTModel, LGForest, _fit_jit
 
-    if axis is None:
-        axis = tuple(mesh.axis_names)
+    axis = resolve_axis(mesh, axis)
     n_dev = mesh.devices.size
     n = len(X)
     q = _row_quantum(n_dev)
@@ -177,8 +175,7 @@ def train_gbdt_folds_sharded(
 
     if objective is None:
         objective = objectives.logistic
-    if axis is None:
-        axis = tuple(mesh.axis_names)
+    axis = resolve_axis(mesh, axis)
 
     n_dev = mesh.devices.size
     row_q = _row_quantum(n_dev)
@@ -271,8 +268,7 @@ def comm_volume_report(mesh: Mesh, n_rows: int, n_features: int,
     from mallorn_tpu.trees.binning import apply_bins, fit_bins
     from mallorn_tpu.trees.gbdt import _fit_jit
 
-    if axis is None:
-        axis = tuple(mesh.axis_names)
+    axis = resolve_axis(mesh, axis)
     rng = np.random.default_rng(0)
     n_dev = mesh.devices.size
     q = _row_quantum(n_dev)

@@ -186,7 +186,9 @@ def test_set_override_changes_training(workspace):
               "--set", "not_a_field=1"])
 
     # malformed values error cleanly, not with a raw ValueError traceback
-    for bad in ("max_depth=2.5", "reg_lambda=abc"):
+    for bad in ("max_depth=2.5", "reg_lambda=abc", "max_depth=nan",
+                "learning_rate=inf", "hist_subtract=ture",
+                "use_pallas_hist=maybe"):
         with pytest.raises(SystemExit, match="--set"):
             main(["train", "--data", str(workspace / "data"),
                   "--cache", str(workspace / "cache"),

@@ -44,15 +44,11 @@ def test_cached_hits_without_recompute(tmp_path, feats):
     np.testing.assert_array_equal(m1, m2)
 
 
-@pytest.mark.parametrize("damage", ["truncate", "drop_manifest"])
-def test_cached_self_heals_corrupt_entry(tmp_path, feats, damage):
+def test_cached_self_heals_corrupt_entry(tmp_path, feats):
     f, ids = feats
     npz = tmp_path / "fam.npz"
     cached(npz, lambda: f, ids)
-    if damage == "truncate":
-        npz.write_bytes(npz.read_bytes()[: 40])
-    else:
-        npz.with_suffix(".manifest.json").unlink()
+    npz.write_bytes(npz.read_bytes()[: 40])  # truncated by a crash
     mat, names, _ = cached(npz, lambda: f, ids)
     assert names == ["a", "b"]
     np.testing.assert_array_equal(mat[:, 0], f["a"])
@@ -60,3 +56,25 @@ def test_cached_self_heals_corrupt_entry(tmp_path, feats, damage):
     load_features(npz)
     assert json.loads(
         npz.with_suffix(".manifest.json").read_text())["names"] == ["a", "b"]
+
+
+def test_entry_is_self_contained(tmp_path, feats):
+    """Names live inside the npz: the entry is ONE atomic file, immune to
+    manifest/matrix generation skew, and loads with the sidecar manifest
+    deleted."""
+    f, ids = feats
+    npz = tmp_path / "fam.npz"
+    save_features(npz, f, ids)
+    npz.with_suffix(".manifest.json").unlink()
+    mat, names, _ = load_features(npz)
+    assert names == ["a", "b"]
+    # a mismatched-generation pairing (old 1-col npz + new 2-col names)
+    # is detected, and cached() heals it
+    import numpy as np2
+
+    np2.savez(tmp_path / "skew.npz", matrix=np.zeros((5, 1)),
+              object_ids=ids.astype(str), names=np.array(["a", "b"]))
+    with pytest.raises(ValueError, match="mismatched generations"):
+        load_features(tmp_path / "skew.npz")
+    mat, names, _ = cached(tmp_path / "skew.npz", lambda: f, ids)
+    assert names == ["a", "b"] and mat.shape == (5, 2)
