@@ -143,6 +143,17 @@ def cmd_train(args):
     from mallorn_tpu.train.cv import train_cv
     from mallorn_tpu.train.feature_selection import select_features
 
+    if getattr(args, "mesh", None):
+        import jax
+
+        from mallorn_tpu.parallel.mesh import make_mesh, set_default_mesh
+
+        n_dev = len(jax.devices())
+        if args.mesh > n_dev:
+            raise SystemExit(
+                f"--mesh {args.mesh}: only {n_dev} devices available")
+        set_default_mesh(make_mesh(args.mesh))
+
     log = load_metadata(Path(args.data), "train")
     y = log["target"].to_numpy()
 
@@ -775,6 +786,10 @@ def main(argv=None):
     pt.add_argument("--rounds", type=int, default=None,
                     help="override n_rounds on every GBDT config "
                          "(tiny-scale smoke runs)")
+    pt.add_argument("--mesh", type=int, default=None, metavar="N",
+                    help="train every GBDT CV distributed over an "
+                         "N-device mesh (row-sharded folds, psum'd "
+                         "histograms; forests identical to single-device)")
     pt.set_defaults(fn=cmd_train)
 
     pp = sub.add_parser("predict", help="predict from saved fold models")
@@ -786,7 +801,17 @@ def main(argv=None):
     pp.set_defaults(fn=cmd_predict)
 
     args = p.parse_args(argv)
-    args.fn(args)
+    if getattr(args, "mesh", None):
+        # the default mesh is process-global: scope it to this invocation
+        # (in-process callers — tests, notebooks — must not inherit it)
+        from mallorn_tpu.parallel.mesh import set_default_mesh
+
+        try:
+            args.fn(args)
+        finally:
+            set_default_mesh(None)
+    else:
+        args.fn(args)
 
 
 if __name__ == "__main__":

@@ -60,6 +60,22 @@ def resolve_axis(mesh: Mesh, axis):
     return tuple(mesh.axis_names) if axis is None else axis
 
 
+_DEFAULT_MESH: Optional[Mesh] = None
+
+
+def set_default_mesh(mesh: Optional[Mesh]) -> None:
+    """Process-wide default mesh. ``train_cv``/``train_cv_multiclass``
+    resolve ``mesh=None`` to this, so one switch (the CLI's ``--mesh N``)
+    turns every config's GBDT CV distributed without threading a mesh
+    through each call site. Identical-trees contract unchanged."""
+    global _DEFAULT_MESH
+    _DEFAULT_MESH = mesh
+
+
+def default_mesh() -> Optional[Mesh]:
+    return _DEFAULT_MESH
+
+
 def object_sharding(mesh: Mesh, axis=None) -> NamedSharding:
     """Shard the leading (object) axis; replicate the rest.
 

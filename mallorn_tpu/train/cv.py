@@ -80,6 +80,7 @@ def train_cv_multiclass(
     n_folds: int = 5,
     early_stopping_rounds: int = 50,
     seed: int = 42,
+    mesh=None,
     verbose: bool = False,
 ) -> Tuple[np.ndarray, Optional[np.ndarray], List[GBDTModel]]:
     """K-class multi:softprob CV: OOF class probabilities + fold-averaged
@@ -88,9 +89,15 @@ def train_cv_multiclass(
     early stopping on mlogloss, ``model.predict`` = softmax probabilities).
 
     ``params.num_class`` must be >= 2; labels are int class ids 0..K-1.
+    ``mesh`` (or the process default mesh): folds train row-sharded with
+    psum'd histograms, identical forests to single-device.
     Returns (oof_probs [N, K], test_probs [N, K] or None, models)."""
     if params.num_class < 2:
         raise ValueError("params.num_class must be >= 2")
+    if mesh is None:
+        from mallorn_tpu.parallel.mesh import default_mesh
+
+        mesh = default_mesh()
     y_class = np.asarray(y_class)
     K = params.num_class
     skf = StratifiedKFold(n_splits=n_folds, shuffle=True, random_state=seed)
@@ -108,9 +115,17 @@ def train_cv_multiclass(
             "spw": 1.0, "seed": params.seed,
             "X_parent": X_parent, "tr_idx": tr, "va_idx": va,
         })
-    models = train_gbdt_folds(
-        folds, params, early_stopping_rounds=early_stopping_rounds,
-        pad_rows_to=pad_train, pad_val_rows_to=pad_val)
+    if mesh is not None:
+        from mallorn_tpu.parallel.sharded_train import train_gbdt_folds_sharded
+
+        models = train_gbdt_folds_sharded(
+            mesh, folds, params,
+            early_stopping_rounds=early_stopping_rounds,
+            pad_rows_to=pad_train, pad_val_rows_to=pad_val)
+    else:
+        models = train_gbdt_folds(
+            folds, params, early_stopping_rounds=early_stopping_rounds,
+            pad_rows_to=pad_train, pad_val_rows_to=pad_val)
 
     def _softmax(m):  # [..., K] on the last axis
         z = m - m.max(axis=-1, keepdims=True)
@@ -199,6 +214,10 @@ def train_cv(
     matrices, so the shared-parent binning shortcut is skipped and the
     returned ``y`` may be float (soft).
     """
+    if mesh is None:
+        from mallorn_tpu.parallel.mesh import default_mesh
+
+        mesh = default_mesh()
     y = np.asarray(y)
     y_soft = (np.asarray(y_train_soft, np.float32)
               if y_train_soft is not None else None)

@@ -194,3 +194,32 @@ def test_set_override_changes_training(workspace):
                   "--cache", str(workspace / "cache"),
                   "--config", "v34a", "--out", str(out_b), "--rounds", "2",
                   "--set", bad])
+
+
+def test_mesh_flag_identical_result(workspace):
+    """--mesh N trains every CV distributed (default-mesh plumbing):
+    identical forests -> identical result JSON to the single-device run,
+    and the process default mesh does not leak past the invocation."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from mallorn_tpu.parallel.mesh import default_mesh
+
+    out_a = _train(workspace, "v34a")
+    res_a = json.loads((out_a / "result_v34a.json").read_text())
+
+    out_b = workspace / "artifacts_v34a_mesh"
+    main(["train", "--data", str(workspace / "data"),
+          "--cache", str(workspace / "cache"),
+          "--config", "v34a", "--out", str(out_b), "--rounds", "12",
+          "--mesh", "8"])
+    res_b = json.loads((out_b / "result_v34a.json").read_text())
+    assert res_a == res_b
+    assert default_mesh() is None  # scoped to the invocation
+
+    with pytest.raises(SystemExit, match="devices available"):
+        main(["train", "--data", str(workspace / "data"),
+              "--cache", str(workspace / "cache"),
+              "--config", "v34a", "--out", str(out_b), "--rounds", "2",
+              "--mesh", "64"])
