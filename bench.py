@@ -133,9 +133,14 @@ def main():
     # threads: more concurrent payload streams starve the foreground
     # execute RPCs on the single relay pipe (observed multi-minute
     # stalls at 4).
-    from mallorn_tpu.utils.aot_cache import prefetch
+    from mallorn_tpu.utils.aot_cache import prefetch, warmup_uploads
 
     prefetch(max_workers=2)
+    # the relay defers each executable's payload upload to its FIRST
+    # execution; dummy zeros-calls in pipeline order start the serial
+    # uploads NOW so they overlap host prep and earlier stages' compute
+    # instead of serializing into each stage's first real call
+    warmup_uploads()
 
     def numeric_gates():
         """On-device numeric gates for both Pallas histogram kernels

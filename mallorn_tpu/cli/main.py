@@ -8,9 +8,10 @@ declarative interface:
   mallorn train    --data data/ --cache cache/ --config v92d
   mallorn predict  --data data/ --cache cache/ --model artifacts/
 Configs: baseline | v16 | v19 | v34a | v42 | v55 | v56 | v57 | v58 | v59b | v60 | v62 | v92a..d |
-v97 | v102a..c | v104 | v108 | v110 | v111 | v115c | v118 | v119
+v97 | v102a..c | v104 | v108 | v110 | v111 | v114d | v115c | v118 | v119 | kaggle
 (BASELINE.json's list plus the LGBM/CatBoost-family, multiclass,
-soft-label, external-data-combination and stacking runs).
+soft-label, external-data-combination and stacking runs; `kaggle` is the
+final shipped deliverable — 3 models x 5 seeds, LB-weighted blend).
 """
 
 from __future__ import annotations
@@ -413,6 +414,60 @@ def cmd_train(args):
                       "adv_auc": out.adversarial.auc,
                       "n_features": len(out.feature_names)}
             test_preds, threshold = cv.test_preds, cv.best_threshold
+        elif args.config == "v114d":
+            # Optuna-tuned leaf-wise GBDT + minimal research features —
+            # the LightGBM member of the shipped ensemble as a named,
+            # reproducible config (reference:
+            # scripts/package_features_for_kaggle.py:160-180 params,
+            # scripts/train_v114_optimized_lgbm.py strategy)
+            from mallorn_tpu.io.cache import load_features
+            r_tr, r_names, _ = load_features(Path(args.cache) / "research_train.npz")
+            research_tr = {n: r_tr[:, i] for i, n in enumerate(r_names)}
+            research_te = None
+            if object_ids_test is not None:
+                r_te, _, _ = load_features(Path(args.cache) / "research_test.npz")
+                research_te = {n: r_te[:, i] for i, n in enumerate(r_names)}
+            out = pipelines.run_v115(Xtr, y, names, research_tr, Xte,
+                                     research_te,
+                                     extra=pipelines.V115_MINIMAL_RESEARCH,
+                                     params=R(pipelines.V114D_PARAMS),
+                                     verbose=True)
+            cv = out.winner
+            result = {"oof_f1": cv.best_f1, "threshold": cv.best_threshold,
+                      "adv_auc": out.adversarial.auc,
+                      "n_features": len(out.feature_names)}
+            test_preds, threshold = cv.test_preds, cv.best_threshold
+        elif args.config == "kaggle":
+            # THE final deliverable: 3 models x 5 seeds, LB-weighted blend
+            # (reference: notebooks/kaggle_multiseed_ensemble.py:1-35)
+            from mallorn_tpu.io.cache import load_features
+            r_tr, r_names, _ = load_features(Path(args.cache) / "research_train.npz")
+            research_tr = {n: r_tr[:, i] for i, n in enumerate(r_names)}
+            research_te = None
+            if object_ids_test is not None:
+                r_te, _, _ = load_features(Path(args.cache) / "research_test.npz")
+                research_te = {n: r_te[:, i] for i, n in enumerate(r_names)}
+            out = pipelines.run_kaggle_ensemble(
+                Xtr, y, names, research_tr, Xte, research_te,
+                xgb_params=R(pipelines.V34A_PARAMS),
+                lgbm_params=R(pipelines.V114D_PARAMS), verbose=True)
+            result = {"oof_f1": out.oof_f1, "threshold": out.threshold,
+                      "weights": out.weights,
+                      "adv_auc": out.adversarial.auc,
+                      "model_f1s": {k: v["oof_f1"]
+                                    for k, v in out.per_model.items()},
+                      "model_thresholds": {k: v["threshold"]
+                                           for k, v in out.per_model.items()}}
+            test_preds, threshold = out.ensemble_test, out.threshold
+            # per-model multiseed submissions alongside the main blend
+            # (notebook :316-326 writes submission_{model}_multiseed.csv)
+            if object_ids_test is not None:
+                for mname, m in out.per_model.items():
+                    if m["test"] is not None:
+                        write_submission(
+                            out_dir / f"submission_{mname}_multiseed.csv",
+                            object_ids_test,
+                            (m["test"] > m["threshold"]).astype(int))
         elif args.config == "v16":
             # external-data combination: train on primary + external
             # labeled set, folds/validation/OOF on primary only
@@ -772,7 +827,8 @@ def main(argv=None):
                              "v97", "v102", "v102a", "v102b", "v102c",
                              "v103", "v103a", "v103b", "v103c",
                              "v104", "v105", "v106", "v108",
-                             "v110", "v111", "v115c", "v118", "v119"])
+                             "v110", "v111", "v114d", "v115c", "v118",
+                             "v119", "kaggle"])
     pt.add_argument("--data-external", default=None,
                     help="external labeled dataset dir (v16)")
     pt.add_argument("--cache-external", default=None,

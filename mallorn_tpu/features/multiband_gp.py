@@ -148,8 +148,12 @@ def _extract_chunk(packed: PackedLightcurves, n_steps: int,
         use_c = gat(use) & first  # dedupe when a lane has < 64 points
         fit1 = fit_gp_batched(gat(t), gat(lam), gat(y), gat(yerr), use_c,
                               n_steps=n_steps)
+        # phase-2 refinement from the warm start needs few full-T steps:
+        # 8 (was 16 at n_steps=100) halves the dominant full-resolution
+        # Cholesky chain; quality pinned by the scipy L-BFGS-B oracle
+        # gate (test_gp_oracle_deep: <= 2 lanes worse than scipy + 5%)
         fit = fit_gp_batched(t, lam, y, yerr, use,
-                             n_steps=max(n_steps // 6, 8),
+                             n_steps=max(n_steps // 12, 8),
                              lr=0.05, lr_final=0.01, params0=fit1.params)
     else:
         fit = fit_gp_batched(t, lam, y, yerr, use, n_steps=n_steps)

@@ -67,8 +67,9 @@ def _hist_kernel(seg_ref, gh_ref, out_ref, *, n_hi: int, rows: int,
     def _():
         out_ref[:, :, :, :] = jnp.zeros_like(out_ref)
 
-    hi_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, n_hi), 1)
-    lo_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, S_LO), 1)
+    # row-independent iotas: [1, k] broadcasts in the compare
+    hi_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n_hi), 1)
+    lo_ids = jax.lax.broadcasted_iota(jnp.int32, (1, S_LO), 1)
     g = gh_ref[:, 0]
     h = gh_ref[:, 1]
     dn = (((0,), (0,)), ((), ()))  # contract over rows: A^T @ B
@@ -216,10 +217,15 @@ def _binlane_kernel(nodeq_ref, gd_ref, hib_ref, bhot_ref, out_ref, *,
     # lane pattern, digits lane-expanded ONCE per program via a constant
     # 0/1 matmul (gd @ E) — narrow per-digit multiplies plus an unaligned
     # lane concat measured 3x the cost of the compare itself.
-    j6 = jax.lax.broadcasted_iota(jnp.int32, (rows, 6 * cols), 1)
-    cidx = jax.lax.rem(j6, cols)
+    # cidx is ROW-INDEPENDENT: build it [1, 6C] and let the compare
+    # broadcast. The previous [rows, 6C] iota + integer rem/div (no
+    # native int div on the VPU — a long lowered sequence over ~360
+    # vregs per program) was a measurable slice of the fixed per-call
+    # overhead (VERDICT r4 next-#1).
+    j6 = jax.lax.broadcasted_iota(jnp.int32, (8, 6 * cols), 1)
+    cidx = jax.lax.rem(j6[:1], cols)  # [1, 6C]
     expand = (jax.lax.broadcasted_iota(jnp.int32, (8, 6 * cols), 0)
-              == jax.lax.div(j6[:8], cols)).astype(jnp.bfloat16)  # [8, 6C]
+              == jax.lax.div(j6, cols)).astype(jnp.bfloat16)  # [8, 6C]
     gsel = jax.lax.dot_general(
         gd_ref[:, :], expand, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(jnp.bfloat16)  # [R, 6C]
@@ -370,12 +376,13 @@ def _binlane_kernel_i8(nodeq_ref, gd_ref, hib_ref, bhot_ref, out_ref, *,
     node3 = nodeq_ref[0, :] * n_bh  # [R]
     dn = (((0,), (0,)), ((), ()))
 
-    jc = jax.lax.broadcasted_iota(jnp.int32, (rows, 8 * cols), 1)
-    cidx = jax.lax.rem(jc, cols)
+    # row-independent lane pattern: [1, 8C] (see the bf16 kernel note)
+    jc = jax.lax.broadcasted_iota(jnp.int32, (8, 8 * cols), 1)
+    cidx = jax.lax.rem(jc[:1], cols)  # [1, 8C]
     # lane-expand the 8 digit columns to [R, 8C] via a constant 0/1 int8
     # matmul (same trick as the bf16 kernel's gsel)
     expand = (jax.lax.broadcasted_iota(jnp.int32, (8, 8 * cols), 0)
-              == jax.lax.div(jc[:8], cols)).astype(jnp.int8)
+              == jax.lax.div(jc, cols)).astype(jnp.int8)
     gsel = jax.lax.dot_general(
         gd_ref[:, :], expand, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32).astype(jnp.int8)  # [R, 8C]
@@ -453,3 +460,134 @@ def build_histograms_binlane_i8(
     hist = jnp.stack([g, h], axis=-1)  # [F, cols, 128, 2]
     hist = hist.reshape(f_pad, n_nodes, n_bh * S_LO, 2)
     return hist[:f, :, :n_bins_tot, :]
+
+
+# ---------------------------------------------------------------------------
+# Full-bin-one-hot streamed kernel ("i8full").
+#
+# The bin-lane kernels above are VPU-bound on their PER-FEATURE loop body:
+# each of the F iterations pays a full-width [R, ~128] compare+select (the
+# AD build — the hi-bin digit hib is feature-DEPENDENT, so the node-side
+# matrix must be rebuilt per feature) plus, on the int8-streamed path, a
+# [R, 128] int8->bf16 convert. Measured: bf16 and int8 streams run at the
+# SAME ~1.9 ms/level (probe_kernel.json) although int8 halves the DMA —
+# the stream is not the binding term, the per-feature VPU chain is.
+#
+# This variant streams the FULL bin one-hot instead:
+#
+#   bhot[f, r, l] = (binned[f, r] == l)      int8 [F, N, L], L = bins
+#                                            padded to 128-lane blocks
+#
+# The node-side matrix M[r, d*nodes + c] = gd[r, d] * [node_q[r] == c] is
+# then completely feature-INDEPENDENT — built ONCE per program — and the
+# per-feature body collapses to one int8->bf16 convert + one matmul. VPU
+# cost per feature-row drops ~33% (L=2x lanes of convert, but zero
+# select); HBM doubles vs the 128-lane int8 stream but stays under the
+# compute time. The digit recombination (bf16x3, exact) is unchanged.
+# ---------------------------------------------------------------------------
+
+
+def precompute_fullhot_i8(binned_T: jnp.ndarray, n_bins_tot: int):
+    """Full-bin int8 one-hot, built once per fit.
+
+    binned_T: [F, N] int32/int16 bin ids in [0, n_bins] (n_bins ==
+    missing). Returns bhot [F, N, L] int8 with L = n_bins_tot rounded up
+    to 128 lanes."""
+    L = _round_up(n_bins_tot, S_LO)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2)
+    return (binned_T.astype(jnp.int32)[..., None] == lanes).astype(jnp.int8)
+
+
+def _fullhot_kernel(nodeq_ref, gd_ref, bhot_ref, out_ref, *,
+                    n_nodes: int, rows: int, f_block: int, L: int):
+    """One (feature-block, row-chunk) program.
+
+    nodeq_ref: [1, R] i32 node index per row (n_nodes => inactive)
+    gd_ref:    [R, 8] bf16 digit matrix (6 digits + 2 zero pad lanes)
+    bhot_ref:  [F_BLOCK, R, L] int8 full-bin one-hot
+    out_ref:   [F_BLOCK, 2, n_nodes, L] f32
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:, :, :, :] = jnp.zeros_like(out_ref)
+
+    cols = n_nodes
+    dn = (((0,), (0,)), ((), ()))
+
+    # M[r, d*cols + c] = gd[r, d] * [node_q[r] == c] — feature-
+    # independent, ONE build per program (cidx/expand are [1/8, 6C]:
+    # row-independent, tiny)
+    j6 = jax.lax.broadcasted_iota(jnp.int32, (8, 6 * cols), 1)
+    cidx = jax.lax.rem(j6[:1], cols)  # [1, 6C]
+    expand = (jax.lax.broadcasted_iota(jnp.int32, (8, 6 * cols), 0)
+              == jax.lax.div(j6, cols)).astype(jnp.bfloat16)  # [8, 6C]
+    gsel = jax.lax.dot_general(
+        gd_ref[:, :], expand, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)  # [R, 6C]
+    nodeq = nodeq_ref[0, :]
+    M = jnp.where(nodeq[:, None] == cidx, gsel, jnp.bfloat16(0.0))
+
+    for k in range(f_block):
+        B = bhot_ref[k].astype(jnp.bfloat16)
+        o = jax.lax.dot_general(
+            M, B, dn, preferred_element_type=jnp.float32)  # [6C, L]
+        out_ref[k, 0, :, :] += (o[0:cols] + o[cols:2 * cols]
+                                + o[2 * cols:3 * cols])
+        out_ref[k, 1, :, :] += (o[3 * cols:4 * cols] + o[4 * cols:5 * cols]
+                                + o[5 * cols:6 * cols])
+
+
+def build_histograms_fullhot(
+    bhot: jnp.ndarray,  # [F, N, L] int8 from precompute_fullhot_i8
+    node_q: jnp.ndarray,  # [N] i32 node per row, n_nodes => inactive
+    gd: jnp.ndarray,  # [N, 6] bf16 from split_gh_digits
+    n_nodes: int,
+    n_bins_tot: int,
+    row_chunk: int = 1280,
+    f_block: int = F_BLOCK,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Returns [F, n_nodes, n_bins_tot, 2] f32 (grad, hess) histograms."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    L = bhot.shape[2]
+
+    f, n = bhot.shape[0], bhot.shape[1]
+    f_pad = _round_up(f, f_block)
+    row_chunk = min(row_chunk, _round_up(n, 8))
+    n_pad = _round_up(n, row_chunk)
+    if n_pad != n:
+        node_q = jnp.concatenate(
+            [node_q, jnp.full((n_pad - n,), n_nodes, jnp.int32)])
+        gd = jnp.concatenate([gd, jnp.zeros((n_pad - n, 6), gd.dtype)])
+        bhot = jnp.concatenate(
+            [bhot, jnp.zeros((f, n_pad - n, L), bhot.dtype)], 1)
+    if f_pad != f:
+        bhot = jnp.concatenate(
+            [bhot, jnp.zeros((f_pad - f, n_pad, L), bhot.dtype)], 0)
+    gd8 = jnp.concatenate([gd, jnp.zeros((n_pad, 2), gd.dtype)], 1)
+
+    grid = (f_pad // f_block, n_pad // row_chunk)
+    kernel = functools.partial(_fullhot_kernel, n_nodes=n_nodes,
+                               rows=row_chunk, f_block=f_block, L=L)
+    mem = pl.ANY if interpret else pltpu.VMEM
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, row_chunk), lambda i, j: (0, j), memory_space=mem),
+            pl.BlockSpec((row_chunk, 8), lambda i, j: (j, 0), memory_space=mem),
+            pl.BlockSpec((f_block, row_chunk, L), lambda i, j: (i, j, 0),
+                         memory_space=mem),
+        ],
+        out_specs=pl.BlockSpec((f_block, 2, n_nodes, L),
+                               lambda i, j: (i, 0, 0, 0), memory_space=mem),
+        out_shape=jax.ShapeDtypeStruct(
+            (f_pad, 2, n_nodes, L), jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(node_q[None, :], gd8, bhot)
+    return out.transpose(0, 2, 3, 1)[:f, :, :n_bins_tot, :]

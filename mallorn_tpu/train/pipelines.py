@@ -888,3 +888,227 @@ def run_easy_ensemble(
     return CVResult(oof_preds=oof, test_preds=test_preds, fold_f1s=[],
                     best_f1=best_f1, best_threshold=best_threshold,
                     importance_gain=importance, models=list(models))
+
+
+# --- Final Kaggle deployment ensemble (the shipped submission) ----------
+
+# v114d: the Optuna-tuned LightGBM member of the shipped ensemble
+# (reference: scripts/package_features_for_kaggle.py:160-180 — num_leaves
+# 8, max_depth 5, lr 0.0394, 654 rounds, feature_fraction 0.591,
+# bagging_fraction 0.659, reg_alpha 1.524, reg_lambda 2.72,
+# min_child_samples 42; tuned OOF F1 0.6852). Mapping notes for the
+# TPU trainer: bagging_freq=5 (re-draw the row subsample every 5 rounds)
+# is represented by per-round subsampling at the same fraction;
+# min_child_samples=42 maps to min_child_weight=10.5 — 42 x the 0.25
+# max logistic hessian, i.e. the hessian-weighted count XGBoost uses for
+# the same constraint.
+V114D_PARAMS = GBDTParams(
+    n_rounds=654, max_depth=5, learning_rate=0.0394,
+    subsample=0.659, colsample_bytree=0.591,
+    min_child_weight=10.5, reg_alpha=1.524, reg_lambda=2.72,
+    grow_policy="lossguide", max_leaves=8,
+)
+
+# The shipped-notebook contract (reference:
+# notebooks/kaggle_multiseed_ensemble.py:78-91 and
+# scripts/package_features_for_kaggle.py:183-188): fixed CV seed 42 so
+# every model shares the fold splits, 5 model seeds per model, ensemble
+# weights set from LB performance (v92d 0.6986, v34a 0.6907, v114d
+# 0.6797).
+KAGGLE_MODEL_SEEDS = (42, 123, 456, 789, 2024)
+KAGGLE_CV_SEED = 42
+KAGGLE_ENSEMBLE_WEIGHTS = {"v92d": 0.45, "v34a": 0.30, "v114d": 0.25}
+
+
+@dataclasses.dataclass
+class KaggleEnsembleResult:
+    per_model: Dict[str, Dict]          # oof/test preds, threshold, f1s
+    ensemble_oof: np.ndarray
+    ensemble_test: Optional[np.ndarray]
+    oof_f1: float
+    threshold: float
+    weights: Dict[str, float]
+    adversarial: AdversarialResult
+
+
+def _kaggle_nan(X: np.ndarray) -> np.ndarray:
+    """The notebook's NaN policy (kaggle_multiseed_ensemble.py:237-238):
+    NaN -> 0, +/-inf -> +/-1e10 — unlike the NaN-native v92d script, the
+    shipped ensemble zero-fills."""
+    return np.nan_to_num(np.asarray(X, np.float32),
+                         nan=0.0, posinf=1e10, neginf=-1e10)
+
+
+def _multi_seed_cv(
+    X: np.ndarray, y: np.ndarray, X_test: Optional[np.ndarray],
+    params: GBDTParams, folds: Sequence, seeds: Sequence[int],
+    sample_weight: Optional[np.ndarray], spw: float,
+    early_stopping_rounds: int = 50, verbose: bool = False, tag: str = "",
+) -> Tuple[np.ndarray, Optional[np.ndarray], Dict[int, float]]:
+    """One model x S seeds x K folds as [S*K] vmapped lanes over FIXED
+    folds (the notebook varies only the model seed; fold splits are
+    shared across seeds and models via CV seed 42)."""
+    from mallorn_tpu.trees.gbdt import predict_margin_folds, train_gbdt_folds
+
+    X = np.asarray(X, np.float32)
+    y = np.asarray(y)
+    lanes, lane_meta = [], []
+    for seed in seeds:
+        for tr, va in folds:
+            lanes.append({
+                "X": X[tr], "y": y[tr],
+                "w": (np.asarray(sample_weight[tr], np.float32)
+                      if sample_weight is not None else None),
+                "X_val": X[va], "y_val": y[va],
+                "spw": spw, "seed": seed,
+                "X_parent": X, "tr_idx": tr,
+            })
+            lane_meta.append((seed, va))
+
+    models = train_gbdt_folds(
+        lanes, params, early_stopping_rounds=early_stopping_rounds,
+        pad_rows_to=max(len(l["X"]) for l in lanes),
+        pad_val_rows_to=max(len(l["X_val"]) for l in lanes),
+        pad_features_to=PAD_FEATURES)
+
+    val_margins = predict_margin_folds(models, [X[va] for _, va in lane_meta])
+    test_margins = (predict_margin_folds(models, np.asarray(X_test, np.float32))
+                    if X_test is not None else None)
+
+    def _sig(m):
+        return 1.0 / (1.0 + np.exp(-np.asarray(m)))
+
+    grid = np.linspace(0.03, 0.5, 100)  # notebook find_best_threshold :212
+    n_folds = len(folds)
+    oofs, tests, f1s = [], [], {}
+    for si, seed in enumerate(seeds):
+        oof = np.zeros(len(y))
+        test_cols = []
+        for fi in range(n_folds):
+            li = si * n_folds + fi
+            _, va = lane_meta[li]
+            oof[va] = _sig(val_margins[li][: len(va)])
+            if test_margins is not None:
+                test_cols.append(_sig(test_margins[li]))
+        oofs.append(oof)
+        if test_cols:
+            tests.append(np.mean(test_cols, axis=0))
+        f1, _ = threshold_sweep(y, oof, grid)
+        f1s[seed] = f1
+        if verbose:
+            print(f"   [{tag}] seed {seed}: OOF F1={f1:.4f}", flush=True)
+    return (np.mean(oofs, axis=0),
+            np.mean(tests, axis=0) if tests else None, f1s)
+
+
+def run_kaggle_ensemble(
+    X_train: np.ndarray, y: np.ndarray,
+    feature_names: Sequence[str],
+    research_train: FeatureSet,
+    X_test: Optional[np.ndarray] = None,
+    research_test: Optional[FeatureSet] = None,
+    xgb_params: GBDTParams = V34A_PARAMS,
+    lgbm_params: GBDTParams = V114D_PARAMS,
+    seeds: Sequence[int] = KAGGLE_MODEL_SEEDS,
+    weights: Optional[Dict[str, float]] = None,
+    adv: Optional[AdversarialResult] = None,
+    n_folds: int = 5,
+    verbose: bool = False,
+) -> KaggleEnsembleResult:
+    """The final Kaggle deliverable: 3 models x 5 seeds, LB-weighted
+    blend (reference: notebooks/kaggle_multiseed_ensemble.py:1-35 +
+    scripts/package_features_for_kaggle.py:92-188).
+
+    Models (package_features_for_kaggle.py:123-181):
+      - v92d: XGBoost-shaped GBDT + adversarial weights + scale_pos_weight
+        on the FULL v34a 224-feature set (the notebook's feature_sets map
+        gives v92d all 224 names — unlike the original v92d script, it
+        does NOT drop the 2 shift features);
+      - v34a: same trees and features, NO adversarial weights;
+      - v114d: Optuna-tuned leaf-wise GBDT + adversarial weights on the
+        222 base features + 6 minimal research features.
+    All models share fixed CV folds (seed 42) and sweep 5 model seeds;
+    per-model predictions are seed-averaged, then blended 0.45/0.30/0.25.
+    scale_pos_weight is the GLOBAL neg/pos ratio (notebook :83), applied
+    to every model. NaN -> 0 (see _kaggle_nan). Deviation from the
+    notebook: its n_estimators=1000 cap for the XGB members is
+    represented by the underlying scripts' 500-round cap + the same
+    early_stopping_rounds=50 (fold stop rounds at lr 0.025 are ~350-500,
+    so the cap is not binding; 500 keeps the compiled boosting scan half
+    the size)."""
+    from sklearn.model_selection import StratifiedKFold
+
+    y = np.asarray(y)
+    weights = dict(weights or KAGGLE_ENSEMBLE_WEIGHTS)
+    names = list(feature_names)
+
+    # v114d matrix: base (v34a minus shift) + minimal research columns
+    # (package_features_for_kaggle.py:84-96)
+    keep = [i for i, n in enumerate(names) if n not in SHIFT_FEATURES]
+
+    def _v114_stack(X, research):
+        cols = [np.asarray(research[n], np.float32)[:, None]
+                for n in V115_MINIMAL_RESEARCH]
+        return np.concatenate([np.asarray(X, np.float32)[:, keep]] + cols,
+                              axis=1)
+
+    X92 = _kaggle_nan(X_train)
+    X92_te = _kaggle_nan(X_test) if X_test is not None else None
+    X114 = _kaggle_nan(_v114_stack(X_train, research_train))
+    X114_te = (_kaggle_nan(_v114_stack(X_test, research_test))
+               if X_test is not None else None)
+
+    # adversarial weights on the shift-dropped matrix (the reference
+    # loads adversarial_validation.pkl, computed on the same backbone —
+    # package_features_for_kaggle.py:43-45,117)
+    if adv is None:
+        if X_test is None:
+            adv = AdversarialResult(auc=0.5, distribution_shift=False,
+                                    sample_weights=np.ones(len(X92)),
+                                    train_adv_preds=np.zeros(len(X92)),
+                                    importance_gain=np.zeros(len(keep)))
+        else:
+            from mallorn_tpu.train.adversarial import ADV_PARAMS
+
+            adv = adversarial_validation(
+                _finite_or_nan(np.asarray(X_train, np.float32)[:, keep]),
+                _finite_or_nan(np.asarray(X_test, np.float32)[:, keep]),
+                params=ADV_PARAMS)
+
+    spw = float((y == 0).sum() / max((y == 1).sum(), 1))  # notebook :83
+    skf = StratifiedKFold(n_splits=n_folds, shuffle=True,
+                          random_state=KAGGLE_CV_SEED)
+    folds = list(skf.split(X92, y))
+
+    grid = np.linspace(0.03, 0.5, 100)
+    specs = {
+        "v92d": (X92, X92_te, xgb_params, adv.sample_weights),
+        "v34a": (X92, X92_te, xgb_params, None),
+        "v114d": (X114, X114_te, lgbm_params, adv.sample_weights),
+    }
+    per_model: Dict[str, Dict] = {}
+    for mname, (X, Xte, params, w) in specs.items():
+        t0 = time.perf_counter()
+        oof, test, seed_f1s = _multi_seed_cv(
+            X, y, Xte, params, folds, seeds, w, spw,
+            verbose=verbose, tag=mname)
+        f1, thr = threshold_sweep(y, oof, grid)
+        per_model[mname] = {"oof": oof, "test": test, "oof_f1": f1,
+                            "threshold": thr, "seed_f1s": seed_f1s}
+        if verbose:
+            print(f"  [kaggle] {mname}: seed-avg OOF F1={f1:.4f} @ "
+                  f"{thr:.3f} ({time.perf_counter() - t0:.2f}s)", flush=True)
+
+    ens_oof = np.zeros(len(y))
+    ens_test = np.zeros(len(X92_te)) if X92_te is not None else None
+    for mname, wgt in weights.items():
+        ens_oof += wgt * per_model[mname]["oof"]
+        if ens_test is not None and per_model[mname]["test"] is not None:
+            ens_test += wgt * per_model[mname]["test"]
+    f1, thr = threshold_sweep(y, ens_oof, grid)
+    if verbose:
+        print(f"  [kaggle] ensemble OOF F1={f1:.4f} @ {thr:.3f} "
+              f"(weights {weights})", flush=True)
+    return KaggleEnsembleResult(
+        per_model=per_model, ensemble_oof=ens_oof, ensemble_test=ens_test,
+        oof_f1=f1, threshold=thr, weights=weights, adversarial=adv)

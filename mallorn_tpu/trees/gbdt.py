@@ -68,7 +68,11 @@ class GBDTParams(NamedTuple):
     # in-kernel — exactly equal outputs, measured fastest on v5e; "int8"
     # additionally uses 4-digit base-128 fixed-point grad/hess on an
     # int8 MXU dot (measured SLOWER on this Mosaic version — no native
-    # int8 path — and only quantization-exact to ~N*2^-27).
+    # int8 path — and only quantization-exact to ~N*2^-27). "i8full"
+    # streams the FULL-bin int8 one-hot ([F, N, bins] instead of
+    # [F, N, 128]+hib): 2-3x the HBM stream, but the node-side matrix
+    # becomes feature-independent, deleting the per-feature VPU
+    # compare+select that binds the 128-lane kernels.
     hist_dtype: str = "i8bf16"
     # level routing: "dynslice" fetches each level node's single split
     # column with a dynamic slice (<= 2^d slices + [N] selects per
@@ -412,6 +416,10 @@ def _train_tree(binned_T, binned, grad, hess, col_mask, p: GBDTParams, axis_name
                 gd, s_g, s_h = payload
                 hist = _psum(hist_pallas.build_histograms_binlane_i8(
                     bhot, hib, node_q, gd, s_g, s_h, k_nodes, n_bins_tot,
+                    row_chunk=rc, f_block=fb), axis_name)
+            elif mode == "i8full":
+                hist = _psum(hist_pallas.build_histograms_fullhot(
+                    bhot, node_q, payload, k_nodes, n_bins_tot,
                     row_chunk=rc, f_block=fb), axis_name)
             else:
                 hist = _psum(hist_pallas.build_histograms_binlane(
@@ -801,7 +809,14 @@ def _fit_impl(binned, y, w, row_ids, binned_val, yv, vmask, keys,
     bl_rc = _pick_row_chunk(n, cap=2048)
     use_binlane = use_binlane and not lossguide and bl_rc >= 256
     if use_binlane:
-        if params.hist_dtype in ("int8", "i8bf16"):
+        if params.hist_dtype == "i8full":
+            # full-bin int8 one-hot stream: the node-side matrix becomes
+            # feature-independent, deleting the per-feature VPU
+            # compare+select that binds the 128-lane kernels
+            bl_bhot = hist_pallas.precompute_fullhot_i8(
+                binned_T, params.n_bins + 1)
+            bl_hib = None
+        elif params.hist_dtype in ("int8", "i8bf16"):
             # i8bf16: int8 one-hot stream (half HBM), converted to bf16
             # in-kernel, bf16 MXU matmuls (measured: the pure-int8 dot
             # path is NOT faster on this Mosaic version)
@@ -824,6 +839,9 @@ def _fit_impl(binned, y, w, row_ids, binned_val, yv, vmask, keys,
         if params.hist_dtype == "int8":
             return ("int8", bl_bhot, bl_hib,
                     hist_pallas.quantize_gh_i8(grad, hess), bl_rc)
+        if params.hist_dtype == "i8full":
+            return ("i8full", bl_bhot, None,
+                    hist_pallas.split_gh_digits(grad, hess), bl_rc)
         # "bf16" / "i8bf16" share the bf16-digit kernel
         return ("bf16", bl_bhot, bl_hib,
                 hist_pallas.split_gh_digits(grad, hess), bl_rc)
@@ -1305,7 +1323,12 @@ def train_gbdt_folds(
             # the one-hot path deterministically faults the TPU worker
             # under >=20-lane vmap (tools/probe_onehot_*.py bisect; the
             # isolated kernel passes — a Mosaic scan+vmap interaction).
-            bpe = 128 if params.hist_dtype in ("int8", "i8bf16") else 256
+            if params.hist_dtype == "i8full":
+                bpe = ((params.n_bins + 1 + 127) // 128) * 128  # full one-hot
+            elif params.hist_dtype in ("int8", "i8bf16"):
+                bpe = 128
+            else:
+                bpe = 256
             per_lane = pad_features_to * pad_rows_to * bpe
             budget = 5.5e9
             # Lane-count ceiling, independent of HBM: vmapped fits above

@@ -91,6 +91,12 @@ def _dirs_hash(dirs: tuple | None) -> str:
         rel = p.relative_to(root)
         if dirs is not None and len(rel.parts) > 1 and rel.parts[0] not in dirs:
             continue
+        # the cache/profiling machinery never affects compiled
+        # computations; editing it must not invalidate every bucket
+        # (utils/ is in all of them — a wiped cache costs a full
+        # remote re-prime on the tunnel)
+        if rel.parts[-1] in ("aot_cache.py", "profiling.py"):
+            continue
         h.update(str(rel).encode())
         h.update(p.read_bytes())
     _DIR_HASHES[key] = h.hexdigest()
@@ -307,6 +313,83 @@ def prefetch(max_workers: int = 4, prune_stale: bool = True,
             if str(p) not in _PREFETCHED:
                 _PREFETCHED[str(p)] = pool.submit(load, p)
     pool.shutdown(wait=False)
+
+
+_WARMED: set = set()
+
+
+def _dummy_args(ex):
+    """Zero-filled arguments matching a loaded executable's input avals.
+
+    ``jnp.zeros`` lowers to a device-side broadcast fill (no host->device
+    payload), so building dummy inputs is cheap even for wide fit
+    matrices."""
+    import jax.numpy as jnp
+
+    args, kwargs = jax.tree.map(
+        lambda i: jnp.zeros(i.shape, i.dtype), ex.args_info)
+    return args, kwargs
+
+
+def warmup_uploads(block_each: bool = True) -> None:
+    """Force the relay's deferred executable uploads NOW (cold start).
+
+    The axon PJRT client uploads executable payloads to the TPU server
+    lazily — at FIRST EXECUTION, not at deserialize/load — and serially
+    at ~5-10 MB/s, so each pipeline stage's first call stalls on its own
+    executables' uploads and nothing overlaps (PERF.md round-3 cold-start
+    decomposition). This dispatches ONE dummy zeros-argument call per
+    prefetched executable, in prefetch (pipeline) order, on a background
+    thread: the uploads start immediately and stream while the process is
+    still doing host prep (data load/synth, binning) and while earlier
+    stages compute, instead of serializing into every stage's first real
+    call.
+
+    Correctness: dummy outputs are discarded; the loaded executable
+    object is stored back into the prefetch table so the pipeline's
+    ``call_cached`` reuses the SAME loaded executable (a re-deserialized
+    copy would re-upload). Dummy device work is bounded — zero inputs
+    drive early-stopping fits to their minimum round count and fixed-
+    iteration kernels run once. ``block_each``: wait for each dummy call
+    before dispatching the next, so real work dispatched meanwhile
+    interleaves between dummy calls instead of queueing behind all of
+    them (also bounds dummy buffer memory to one call)."""
+    with _PREFETCH_LOCK:
+        items = [(p, f) for p, f in _PREFETCHED.items() if p not in _WARMED]
+        _WARMED.update(p for p, _ in items)
+    if not items:
+        return
+
+    import sys
+    import time as _time
+
+    timers = os.environ.get("MALLORN_TIMERS")
+
+    def run():
+        for path, fut in items:
+            try:
+                ex = fut.result() if hasattr(fut, "result") else fut
+                if ex is None:
+                    continue
+                with _PREFETCH_LOCK:
+                    # future -> resolved value; call_cached picks up the
+                    # identical (already-uploading) executable
+                    if path in _PREFETCHED:
+                        _PREFETCHED[path] = ex
+                t0 = _time.perf_counter()
+                args, kwargs = _dummy_args(ex)
+                out = ex(*args, **kwargs)
+                if block_each:
+                    jax.block_until_ready(out)
+                del out
+                if timers:
+                    print(f"      [aot] warmup {Path(path).name[:40]}: "
+                          f"{_time.perf_counter() - t0:.2f}s",
+                          file=sys.stderr, flush=True)
+            except Exception:
+                continue
+
+    threading.Thread(target=run, name="aot-warmup", daemon=True).start()
 
 
 def _take_prefetched(path: Path):

@@ -27,7 +27,7 @@ ALL_CONFIGS = ["baseline", "v9", "v10", "v13", "v14", "v19", "v20", "v22", "v26"
                "v92", "v92a", "v92b", "v92c", "v92d", "v93", "v97",
                "v102a", "v102b", "v102c", "v103", "v103a", "v103c",
                "v104", "v105", "v106", "v108",
-               "v110", "v111", "v115c", "v118", "v119"]
+               "v110", "v111", "v114d", "v115c", "v118", "v119", "kaggle"]
 
 
 _test_counter = {"n": 0}

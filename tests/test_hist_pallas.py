@@ -239,3 +239,53 @@ def test_hist_subtraction_symmetric_parity():
                                   np.asarray(m_sub.forest.feature))
     np.testing.assert_array_equal(np.asarray(m_dir.forest.split_bin),
                                   np.asarray(m_sub.forest.split_bin))
+
+
+def test_fullhot_matches_binlane_interpret():
+    """The full-bin one-hot kernel ("i8full") must equal the 128-lane
+    binlane kernel cell for cell — same digit recombination, the node
+    matrix just moves out of the per-feature loop."""
+    from mallorn_tpu.ops import hist_pallas as hp
+
+    rng = np.random.default_rng(5)
+    F, N, NBT = 37, 500, 257
+    binned = jnp.asarray(rng.integers(0, NBT, size=(F, N)), jnp.int32)
+    g = jnp.asarray(rng.normal(size=N), jnp.float32)
+    h = jnp.abs(g) * 0.25 + 0.01
+    gd = hp.split_gh_digits(g, h)
+    bh_i8, hib = hp.precompute_binlane_i8(binned)
+    fh = hp.precompute_fullhot_i8(binned, NBT)
+    for n_nodes in (1, 2, 8):
+        node_q = jnp.asarray(rng.integers(0, n_nodes + 1, size=N), jnp.int32)
+        want = np.asarray(hp.build_histograms_binlane(
+            bh_i8, hib, node_q, gd, n_nodes, NBT, row_chunk=256))
+        got = np.asarray(hp.build_histograms_fullhot(
+            fh, node_q, gd, n_nodes, NBT, row_chunk=256))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_fullhot_training_parity():
+    """hist_dtype='i8full' end-to-end fit builds identical forests to the
+    shipped i8bf16 path (NaN bins, subsample, colsample active)."""
+    from mallorn_tpu.trees.gbdt import GBDTParams, train_gbdt
+
+    rng = np.random.default_rng(7)
+    n, f = 384, 12
+    X = rng.normal(size=(n, f)).astype(np.float32)
+    y = (0.7 * X[:, 2] - 0.4 * X[:, 5] + 0.4 * rng.normal(size=n) > 0.0)
+    X[rng.random((n, f)) < 0.15] = np.nan
+
+    base = GBDTParams(n_rounds=10, max_depth=4, learning_rate=0.3,
+                      subsample=0.7, colsample_bytree=0.8,
+                      use_binlane_hist=True)
+    m_ref = train_gbdt(X, y.astype(np.float32),
+                       base._replace(hist_dtype="i8bf16"))
+    m_fh = train_gbdt(X, y.astype(np.float32),
+                      base._replace(hist_dtype="i8full"))
+    np.testing.assert_array_equal(np.asarray(m_ref.forest.feature),
+                                  np.asarray(m_fh.forest.feature))
+    np.testing.assert_array_equal(np.asarray(m_ref.forest.split_bin),
+                                  np.asarray(m_fh.forest.split_bin))
+    np.testing.assert_allclose(np.asarray(m_ref.forest.leaf_value),
+                               np.asarray(m_fh.forest.leaf_value),
+                               rtol=2e-4, atol=2e-5)

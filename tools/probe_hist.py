@@ -96,7 +96,7 @@ def probe_fit(r1=8, r2=32):
 
     binned, y, w, rid, keys = make_data()
     results = {}
-    for hist_dtype in ("bf16", "i8bf16", "int8"):
+    for hist_dtype in ("bf16", "i8bf16", "int8", "i8full"):
         for route in ("dynslice",):
             times = {}
             for r in (r1, r2):
@@ -191,8 +191,14 @@ def probe_kernel():
             return hp.build_histograms_binlane_i8(
                 bh, hi, nq, gd_a, s_g, s_h, n_nodes, nbt, row_chunk=2560)
 
+        def k_fh(bh, hi, nq, gd_a):
+            return hp.build_histograms_fullhot(
+                bh, nq, gd_a, n_nodes, nbt, row_chunk=2560)
+
+        bhot_fh = hp.precompute_fullhot_i8(binned, nbt)
         for name, fn, gd_a, bh in (("bf16", k_bf, gd_bf, bhot_bf),
-                                   ("int8", k_i8, gd_i8, bhot_i8)):
+                                   ("int8", k_i8, gd_i8, bhot_i8),
+                                   ("i8full", k_fh, gd_bf, bhot_fh)):
             dt = time_call(fn, gd_a, bh)
             out[f"{name}/nodes{n_nodes}"] = dt * 1e3
             print(f"  binlane[{name}] nodes={n_nodes}: {dt * 1e3:.2f} ms",
