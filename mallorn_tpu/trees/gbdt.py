@@ -72,8 +72,10 @@ class GBDTParams(NamedTuple):
     # streams the FULL-bin int8 one-hot ([F, N, bins] instead of
     # [F, N, 128]+hib): 2-3x the HBM stream, but the node-side matrix
     # becomes feature-independent, deleting the per-feature VPU
-    # compare+select that binds the 128-lane kernels.
-    hist_dtype: str = "i8bf16"
+    # compare+select that binds the 128-lane kernels — measured round 5:
+    # 1.53/1.39/1.56 ms at nodes 1/4/16 vs 1.84/1.76/2.95 (i8bf16), fit
+    # 11.2 vs 12.3 ms/round at the v92d shape. Shipped default.
+    hist_dtype: str = "i8full"
     # level routing: "dynslice" fetches each level node's single split
     # column with a dynamic slice (<= 2^d slices + [N] selects per
     # level); "onehot" builds the full-width [N, F] feature one-hot
@@ -393,7 +395,13 @@ def _train_tree(binned_T, binned, grad, hess, col_mask, p: GBDTParams, axis_name
             # v92d nodes8 rc1280/fb32 2.00 ms vs rc2560/fb16 2.69;
             # sel(416f) nodes8 rc1280/fb16 3.68 vs rc2560/fb16 3.81;
             # nodes16 keeps the narrow-block wide-chunk config)
-            if k_nodes >= 16:
+            if mode == "i8full":
+                # no per-feature node-matrix rebuild -> deep levels stay
+                # cheap at full blocks (probe_kernel.json round 5:
+                # nodes16 fb32/rc2560 1.56 ms vs binlane 2.95-3.07)
+                fb = hist_pallas.F_BLOCK
+                rc = _pick_row_chunk(node.shape[0], cap=2560) or bl_rc
+            elif k_nodes >= 16:
                 fb = 16
                 rc = _pick_row_chunk(node.shape[0], cap=2560) or bl_rc
             elif k_nodes == 8:

@@ -66,11 +66,17 @@ def main():
     base = GBDTParams(n_rounds=8, max_depth=DEPTH, subsample=0.8,
                       colsample_bytree=0.8, learning_rate=0.05)
     out = {}
-    out["bins256"] = time_variant("n_bins=256 (3 blocks)",
-                                  base._replace(n_bins=256))
-    out["bins255"] = time_variant("n_bins=255 (2 blocks)",
-                                  base._replace(n_bins=255))
+    for hd in ("i8bf16", "i8full"):
+        out[f"{hd}/bins256"] = time_variant(
+            f"{hd} n_bins=256 (3 blocks)",
+            base._replace(n_bins=256, hist_dtype=hd))
+        out[f"{hd}/bins255"] = time_variant(
+            f"{hd} n_bins=255 (2 blocks)",
+            base._replace(n_bins=255, hist_dtype=hd))
     print(json.dumps(out))
+    from pathlib import Path
+    Path(__file__).parent.joinpath("probe_bins255.json").write_text(
+        json.dumps(out, indent=1))
 
 
 if __name__ == "__main__":

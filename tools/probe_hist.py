@@ -96,7 +96,7 @@ def probe_fit(r1=8, r2=32):
 
     binned, y, w, rid, keys = make_data()
     results = {}
-    for hist_dtype in ("bf16", "i8bf16", "int8", "i8full"):
+    for hist_dtype in ("i8bf16", "i8full"):
         for route in ("dynslice",):
             times = {}
             for r in (r1, r2):
@@ -255,11 +255,14 @@ def mfu_table(measured_ms: dict | None = None):
     rows = []
     for n_nodes in (1, 4, 16):
         n_bh = 3
-        cols = n_nodes * n_bh
-        for name, bpe, digits, peak in (("bf16", 2, 6, PEAK_BF16),
-                                        ("int8", 1, 8, PEAK_INT8)):
-            bytes_stream = f * n * 128 * bpe  # bhot from HBM
-            flops = 2 * f * n * digits * cols * 128  # AD^T @ bhot
+        for name, bpe, digits, peak, lanes, cols in (
+                ("bf16", 2, 6, PEAK_BF16, 128, n_nodes * n_bh),
+                ("int8", 1, 8, PEAK_INT8, 128, n_nodes * n_bh),
+                # i8full: full-bin one-hot, L = n_bh*128 lanes, node-only
+                # column axis, bf16 digit matmul after in-kernel convert
+                ("i8full", 1, 6, PEAK_BF16, n_bh * 128, n_nodes)):
+            bytes_stream = f * n * lanes * bpe  # bhot from HBM
+            flops = 2 * f * n * digits * cols * lanes  # M^T @ bhot
             t_hbm = bytes_stream / PEAK_HBM
             t_mxu = flops / peak
             key = f"{name}/nodes{n_nodes}"
