@@ -148,12 +148,15 @@ def _extract_chunk(packed: PackedLightcurves, n_steps: int,
         use_c = gat(use) & first  # dedupe when a lane has < 64 points
         fit1 = fit_gp_batched(gat(t), gat(lam), gat(y), gat(yerr), use_c,
                               n_steps=n_steps)
-        # phase-2 refinement from the warm start needs few full-T steps:
-        # 8 (was 16 at n_steps=100) halves the dominant full-resolution
-        # Cholesky chain; quality pinned by the scipy L-BFGS-B oracle
-        # gate (test_gp_oracle_deep: <= 2 lanes worse than scipy + 5%)
+        # phase-2 refinement: n_steps//6 (= 16 at the bench's 100).
+        # Round 5 measured halving this to 8: ~0.4 s off warm extraction
+        # but bench OOF F1 dropped 0.6702 -> 0.6614 AND the less-
+        # converged params let f32 chunk-order rounding diverge the mesh
+        # vs single-device feature matrices (0.6556 vs 0.6614) — the
+        # scipy-oracle gate stayed green, so the gate alone is not
+        # sufficient; the e2e F1 pins this constant. Reverted.
         fit = fit_gp_batched(t, lam, y, yerr, use,
-                             n_steps=max(n_steps // 12, 8),
+                             n_steps=max(n_steps // 6, 8),
                              lr=0.05, lr_final=0.01, params0=fit1.params)
     else:
         fit = fit_gp_batched(t, lam, y, yerr, use, n_steps=n_steps)
