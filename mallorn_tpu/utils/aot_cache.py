@@ -281,7 +281,14 @@ def prefetch(max_workers: int = 4, prune_stale: bool = True,
     # MB/s, so the queue order IS the cold-start order. Mesh (sharded-
     # pass) executables are excluded entirely — that pass runs last and
     # loads on demand.
-    _PRIORITY = ("feat_", "gp2d", "gbdt_folds", "feat_stack",
+    # FINE-GRAINED pipeline order: within the feature stage the pipeline
+    # runs statistical -> colors -> shape -> physics -> (stack) -> tde ->
+    # gp2d -> bazin; a coarse "feat_" rank sorted alphabetically put the
+    # big bazin executable FIRST and its ~13 s upload blocked the
+    # families the cold pass needed immediately (round-5 cold trace).
+    _PRIORITY = ("feat_statistical", "feat_colors", "feat_shape",
+                 "feat_physics", "feat_stack", "feat_tde", "gp2d",
+                 "feat_", "gbdt_stackbin", "gbdt_folds",
                  "gbdt_predict", "gbdt_fit")
 
     def _rank(name: str) -> int:
