@@ -191,6 +191,15 @@ def call_cached(jitted, args: tuple, tag: str = "fn",
     if d is None:
         return jitted(*args)
 
+    # under an OUTER trace (e.g. the flagship serving graph jits a full
+    # extraction->forest forward that calls cached extractors), a
+    # compiled executable cannot consume tracers — inline the jitted fn
+    # so it traces into the outer graph instead
+    from jax._src import core as _core
+
+    if any(isinstance(l, _core.Tracer) for l in jax.tree.leaves(args)):
+        return jitted(*args)
+
     tag = tag + _TAG_SUFFIX
     # (tag, sig) fully determines the executable (tags carry a digest of
     # any closed-over static config — _folds_cache_tag); keying off
