@@ -192,6 +192,13 @@ def split_gh_digits(grad: jnp.ndarray, hess: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([g0, g1, g2, h0, h1, h2], axis=-1)
 
 
+def split_gh_digits8(grad: jnp.ndarray, hess: jnp.ndarray) -> jnp.ndarray:
+    """[N, 8] bf16 digit matrix (6 digits + 2 zero pad lanes), the
+    kernel-ready layout built ONCE per round."""
+    gd = split_gh_digits(grad, hess)
+    return jnp.concatenate([gd, jnp.zeros((gd.shape[0], 2), gd.dtype)], 1)
+
+
 def _binlane_kernel(nodeq_ref, gd_ref, hib_ref, bhot_ref, out_ref, *,
                     n_nodes: int, rows: int, f_block: int, n_bh: int):
     """One (feature-block, row-chunk) program.
@@ -561,13 +568,17 @@ def build_histograms_fullhot(
     if n_pad != n:
         node_q = jnp.concatenate(
             [node_q, jnp.full((n_pad - n,), n_nodes, jnp.int32)])
-        gd = jnp.concatenate([gd, jnp.zeros((n_pad - n, 6), gd.dtype)])
+        gd = jnp.concatenate(
+            [gd, jnp.zeros((n_pad - n, gd.shape[1]), gd.dtype)])
         bhot = jnp.concatenate(
             [bhot, jnp.zeros((f, n_pad - n, L), bhot.dtype)], 1)
     if f_pad != f:
         bhot = jnp.concatenate(
             [bhot, jnp.zeros((f_pad - f, n_pad, L), bhot.dtype)], 0)
-    gd8 = jnp.concatenate([gd, jnp.zeros((n_pad, 2), gd.dtype)], 1)
+    # gd may arrive pre-padded to 8 lanes (split_gh_digits8 builds it
+    # once per ROUND instead of this concat running once per level)
+    gd8 = (gd if gd.shape[1] == 8
+           else jnp.concatenate([gd, jnp.zeros((n_pad, 2), gd.dtype)], 1))
 
     grid = (f_pad // f_block, n_pad // row_chunk)
     kernel = functools.partial(_fullhot_kernel, n_nodes=n_nodes,

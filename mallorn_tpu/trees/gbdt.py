@@ -849,7 +849,7 @@ def _fit_impl(binned, y, w, row_ids, binned_val, yv, vmask, keys,
                     hist_pallas.quantize_gh_i8(grad, hess), bl_rc)
         if params.hist_dtype == "i8full":
             return ("i8full", bl_bhot, None,
-                    hist_pallas.split_gh_digits(grad, hess), bl_rc)
+                    hist_pallas.split_gh_digits8(grad, hess), bl_rc)
         # "bf16" / "i8bf16" share the bf16-digit kernel
         return ("bf16", bl_bhot, bl_hib,
                 hist_pallas.split_gh_digits(grad, hess), bl_rc)
