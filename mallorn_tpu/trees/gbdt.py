@@ -1321,7 +1321,19 @@ def train_gbdt_folds(
         # row axis to a 512 multiple: the bin-lane histogram kernel's row
         # chunk must tile it exactly (padded rows are zero-weight)
         pad_rows_to = ((pad_rows_to + 511) // 512) * 512
-        if params.use_binlane_hist is None:
+        if params.grow_policy == "lossguide":
+            # the leaf-wise fit never uses the binlane kernels (it
+            # histograms per leaf via the one-hot kernel), so the
+            # binlane HBM gate below would mis-size its groups: cap at
+            # the one-hot path's verified-good vmap lane count (a
+            # 25-lane [seeds x folds] lossguide fit — the kaggle
+            # ensemble's v114d member — faulted the TPU worker)
+            if len(folds) > _MAX_VMAP_LANES_LOSSGUIDE:
+                return _train_folds_grouped(
+                    folds, params, objective, early_stopping_rounds,
+                    pad_rows_to, pad_val_rows_to, pad_features_to,
+                    _MAX_VMAP_LANES_LOSSGUIDE)
+        elif params.use_binlane_hist is None:
             # HBM gate: the precomputed [F, N, 128] bin-lane one-hot costs
             # 256 B (bf16) / 128 B (int8) per (lane, feature, row). A
             # many-lane fit (e.g. the 50-lane [seeds x folds] v104
@@ -1393,6 +1405,11 @@ def train_gbdt_folds(
 # scan+vmap interaction (isolated kernels pass at any lane count).
 _MAX_VMAP_LANES_BINLANE = 20
 _MAX_VMAP_LANES_ONEHOT = 10
+# leaf-wise fits are more fragile under vmap than the depthwise one-hot
+# path: a 10-lane lossguide group at the kaggle-ensemble shape ran to
+# completion but the NEXT group faulted the worker (round 5); 5 lanes is
+# the CLI-proven v110/v111 width.
+_MAX_VMAP_LANES_LOSSGUIDE = 5
 
 
 def _train_folds_grouped(folds, params, objective, early_stopping_rounds,
